@@ -1,0 +1,127 @@
+"""End-to-end CLI smoke: tiny synthetic train + resume + predict + segment.
+
+The rebuild analog of the reference's integration tests
+(`test/test_predict_volumetric.py`) plus the train-CLI path they lack.
+Shapes kept tiny (12^3) so CPU compiles stay fast.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unet3d_tpu.data import nifti
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.RandomState(0)
+    train_fns, test_fns = [], []
+    for i in range(3):
+        img = rng.rand(12, 12, 12).astype(np.float32)
+        seg = np.zeros((12, 12, 12), dtype=np.int16)
+        seg[3:9, 3:9, 3:9] = 1
+        img[seg > 0] += 2.0
+        ifn = str(root / f"img{i}.nii.gz")
+        sfn = str(root / f"seg{i}.nii.gz")
+        nifti.save(ifn, img, np.eye(4))
+        nifti.save(sfn, seg, np.eye(4))
+        (train_fns if i < 2 else test_fns).append({"image": ifn, "label": sfn})
+    config = {
+        "model": {"name": "UNet3D", "n_features": 1, "base_width": 2,
+                  "encoder_blocks": [1, 1], "n_outputs": 1},
+        "optimizer": {"name": "Adam", "lr": 0.01},
+        "loss": {"name": "DiceLoss", "include_background": True, "sigmoid": True},
+        "scheduler": {"name": "StepLR", "step_size": 1, "gamma": 0.5},
+        "dataset": {"name": "SegmentationDataset", "desired_shape": [12, 12, 12],
+                    "labels": [1], "normalization": "zero_mean", "resample": True},
+        "training": {"batch_size": 2, "validation_batch_size": 2, "n_epochs": 2,
+                     "save_best": True, "test_input": 0},
+        "training_filenames": train_fns,
+        "validation_filenames": train_fns,
+        "test_filenames": test_fns,
+    }
+    config_fn = str(root / "config.json")
+    json.dump(config, open(config_fn, "w"))
+    return {"root": root, "config_fn": config_fn, "config": config,
+            "out": str(root / "out")}
+
+
+def test_train_cli(workspace):
+    from unet3d_tpu.scripts.train import main
+    main(["--config_filename", workspace["config_fn"], "--output_dir",
+          workspace["out"], "--n_examples", "0"])
+    work_dir = os.path.join(workspace["out"], "config")
+    assert os.path.exists(os.path.join(work_dir, "model.npz"))
+    assert os.path.exists(os.path.join(work_dir, "model_best.npz"))
+    log = open(os.path.join(work_dir, "training_log.csv")).read().strip().splitlines()
+    assert log[0] == "epoch,loss,lr,val_loss"
+    assert len(log) == 3  # 2 epochs
+    # scheduler: StepLR halves lr after the first epoch
+    lr_epoch2 = float(log[2].split(",")[2])
+    assert lr_epoch2 == pytest.approx(0.005)
+    # predictions on the test group were written
+    preds = os.listdir(os.path.join(work_dir, "test"))
+    assert any(p.endswith(".nii.gz") for p in preds)
+
+
+def test_train_resume(workspace):
+    from unet3d_tpu.scripts.train import main
+    config = dict(workspace["config"])
+    config["training"] = dict(config["training"], n_epochs=3)
+    json.dump(config, open(workspace["config_fn"], "w"))
+    main(["--config_filename", workspace["config_fn"], "--output_dir",
+          workspace["out"], "--n_examples", "0"])
+    work_dir = os.path.join(workspace["out"], "config")
+    log = open(os.path.join(work_dir, "training_log.csv")).read().strip().splitlines()
+    assert len(log) == 4  # resumed to epoch 3 without retraining 1-2
+    assert [row.split(",")[0].split(".")[0] for row in log[1:]] == ["1", "2", "3"]
+
+
+def test_predict_cli(workspace):
+    from unet3d_tpu.config.factory import get_machine_config
+    from unet3d_tpu.scripts.predict import run_inference
+    import argparse
+    ns = argparse.Namespace(machine_config_filename=None, nthreads=1, ngpus=1,
+                            pin_memory=False)
+    work_dir = os.path.join(workspace["out"], "config")
+    pred_out = str(workspace["root"] / "pred")
+    written = run_inference(config=json.load(open(workspace["config_fn"])),
+                            output_directory=pred_out,
+                            model_filename=os.path.join(work_dir, "model.npz"),
+                            group="test", activation="sigmoid",
+                            system_config=get_machine_config(ns))
+    assert len(written) == 1
+    data, _, _ = nifti.load(written[0])
+    assert data.shape == (12, 12, 12)
+    assert 0.0 <= data.min() and data.max() <= 1.0  # sigmoid applied
+
+
+def test_segment_cli(workspace, monkeypatch):
+    from unet3d_tpu.scripts import segment
+    pred_fn = str(workspace["root"] / "pred" / "predictions" / "img2.nii.gz")
+    out_fn = str(workspace["root"] / "labelmap.nii.gz")
+    monkeypatch.setattr("sys.argv", ["segment.py", "--filenames", pred_fn,
+                                     "--labels", "1", "--output_filenames", out_fn])
+    segment.main()
+    seg, _, _ = nifti.load(out_fn)
+    assert set(np.unique(seg)).issubset({0, 1})
+
+
+def test_cross_validation_setup(workspace):
+    from unet3d_tpu.scripts.train import main
+    config = json.load(open(workspace["config_fn"]))
+    config.pop("validation_filenames")
+    config["cross_validation"] = {"folds": 2, "seed": 25}
+    cv_fn = str(workspace["root"] / "cv_config.json")
+    json.dump(config, open(cv_fn, "w"))
+    cv_out = str(workspace["root"] / "cv_out")
+    main(["--config_filename", cv_fn, "--output_dir", cv_out,
+          "--setup_crossval_only", "--n_examples", "0"])
+    work_dir = os.path.join(cv_out, "cv_config")
+    folds = sorted(f for f in os.listdir(work_dir) if f.startswith("fold"))
+    assert folds == ["fold1.json", "fold2.json"]
+    fold1 = json.load(open(os.path.join(work_dir, "fold1.json")))
+    assert "validation_filenames" in fold1
+    assert len(fold1["training_filenames"]) + len(fold1["validation_filenames"]) == 2

@@ -1,0 +1,76 @@
+"""Optimizer/scheduler semantics (torch parity, `script_utils.py:80-81,198-204`)."""
+import numpy as np
+import pytest
+
+from unet3d_tpu.train.optim import (ReduceLROnPlateau, StepLR, CosineAnnealingLR,
+                                    MultiStepLR, ExponentialLR, build_optimizer,
+                                    build_scheduler)
+
+
+def test_step_lr():
+    s = StepLR(1.0, step_size=2, gamma=0.1)
+    lrs = [s.step() for _ in range(5)]
+    np.testing.assert_allclose(lrs, [1.0, 0.1, 0.1, 0.01, 0.01])
+
+
+def test_multistep_lr():
+    s = MultiStepLR(1.0, milestones=[2, 4], gamma=0.5)
+    lrs = [s.step() for _ in range(5)]
+    np.testing.assert_allclose(lrs, [1.0, 0.5, 0.5, 0.25, 0.25])
+
+
+def test_exponential_lr():
+    s = ExponentialLR(2.0, gamma=0.5)
+    np.testing.assert_allclose([s.step(), s.step()], [1.0, 0.5])
+
+
+def test_cosine_lr_endpoints():
+    s = CosineAnnealingLR(1.0, T_max=10, eta_min=0.0)
+    for _ in range(10):
+        last = s.step()
+    assert last == pytest.approx(0.0, abs=1e-9)
+
+
+def test_plateau_reduces_after_patience():
+    s = ReduceLROnPlateau(1.0, patience=2, factor=0.5)
+    s.step(1.0)          # best=1.0
+    assert s.lr == 1.0
+    s.step(1.0)          # bad 1
+    s.step(1.0)          # bad 2
+    assert s.lr == 1.0
+    s.step(1.0)          # bad 3 > patience -> reduce
+    assert s.lr == 0.5
+
+
+def test_plateau_improvement_resets():
+    s = ReduceLROnPlateau(1.0, patience=1, factor=0.5)
+    s.step(1.0)
+    s.step(0.5)  # improvement
+    s.step(0.6)  # bad 1
+    assert s.lr == 1.0
+    s.step(0.6)  # bad 2 -> reduce
+    assert s.lr == 0.5
+
+
+def test_plateau_min_lr():
+    s = ReduceLROnPlateau(1e-3, patience=0, factor=0.1, min_lr=1e-4)
+    s.step(1.0)
+    s.step(2.0)
+    s.step(2.0)
+    s.step(2.0)
+    assert s.lr >= 1e-4
+
+
+def test_build_optimizer_names():
+    for name in ("Adam", "AdamW", "SGD", "RMSprop"):
+        tx = build_optimizer(name, lr=1e-3)
+        assert tx is not None
+    with pytest.raises(ValueError):
+        build_optimizer("NoSuchOpt")
+    with pytest.raises(TypeError):
+        build_optimizer("Adam", lr=1e-3, bogus_kwarg=1)
+
+
+def test_build_scheduler_error():
+    with pytest.raises(ValueError):
+        build_scheduler("NoSuchScheduler", 1.0)

@@ -1,0 +1,252 @@
+"""Segmentation dataset: the full per-sample transform pipeline.
+
+TPU-native equivalent of `unet3d/datasets/segmentation.py:12-147`. Pipeline order
+is identical to the reference's lazy MONAI Compose:
+
+    load (multi-file channel concat) -> [orientation] -> one-hot labels ->
+    [crop foreground] -> shape stage (random-crop | resample-resize |
+    pad-or-crop) -> spatial augmentations -> normalization -> intensity augs
+
+The deterministic prefix (through the non-random shape stage) is cacheable;
+``SegmentationDatasetPersistent`` stores it as npz keyed by content+config hash —
+the equivalent of MONAI ``PersistentDataset`` disk caching
+(`segmentation.py:125-147`), which caches up to the first random transform.
+
+Random stages draw parameters on the host from a per-sample RandomState; voxel
+math executes as jitted JAX ops.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import warnings
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from unet3d_tpu.data.image import Volume
+from unet3d_tpu.data.io import load_image
+from unet3d_tpu.data.transforms import RandSpatialCropD, build_transform
+from unet3d_tpu.ops import crop as crop_ops
+from unet3d_tpu.ops import normalize as normalize_ops
+from unet3d_tpu.ops.affine import resize_affine
+from unet3d_tpu.ops.one_hot import label_map_to_one_hot
+from unet3d_tpu.ops.resample import resize
+
+_NORMALIZATION_ALIASES = {
+    "zero_mean": "normalize_intensity",
+    "NormalizeIntensityD": "normalize_intensity",
+    "NormalizeIntensityd": "normalize_intensity",
+    "NormalizeIntensity": "normalize_intensity",
+}
+
+
+def _resolve_normalization(name: str):
+    fn_name = _NORMALIZATION_ALIASES.get(name, name)
+    if hasattr(normalize_ops, fn_name):
+        return getattr(normalize_ops, fn_name)
+    raise ValueError(f"{name} normalization method not yet implemented")
+
+
+def apply_normalization(image, normalization, normalization_kwargs):
+    """One name or a list of names, with per-name kwargs when listed.
+
+    Parity: `unet3d/datasets/segmentation.py:77-87` + `doc/Normalization.md`.
+    """
+    if normalization is None:
+        return image
+    kwargs = normalization_kwargs or {}
+    if isinstance(normalization, str):
+        return _resolve_normalization(normalization)(image, **kwargs)
+    for name in normalization:
+        image = _resolve_normalization(name)(image, **kwargs.get(name, {}))
+    return image
+
+
+class SegmentationDataset:
+    """Parity: `unet3d/datasets/segmentation.py:97-122`."""
+
+    def __init__(self, filenames: Sequence[Dict[str, Any]], labels=None,
+                 inference: Any = "auto", desired_shape: Optional[Sequence[int]] = None,
+                 normalization: Any = "zero_mean", normalization_kwargs: Optional[dict] = None,
+                 crop_foreground: bool = False, foreground_percentile: float = 0.1,
+                 random_crop: bool = False, resample: bool = False,
+                 intensity_augmentations: Optional[List[dict]] = None,
+                 spatial_augmentations: Optional[List[dict]] = None,
+                 orientation: Optional[str] = None, reader=None, verbose: bool = False,
+                 base_seed: int = 0):
+        del reader  # API parity; the framework owns its NIfTI reader
+        self.filenames = list(filenames)
+        if inference == "auto":
+            inference = "label" not in self.filenames[0]
+        self.inference = bool(inference)
+        if not self.inference and labels is None:
+            raise ValueError("Must set 'labels' for segmentation dataset when not "
+                             "in inference mode.")
+        self.labels = labels
+        self.desired_shape = tuple(desired_shape) if desired_shape else None
+        self.normalization = normalization
+        self.normalization_kwargs = normalization_kwargs
+        self.crop_foreground = crop_foreground
+        self.foreground_percentile = foreground_percentile
+        self.random_crop = random_crop
+        self.resample = resample
+        self.orientation = orientation
+        self.verbose = verbose
+        self.base_seed = base_seed
+        self.epoch = 0
+        self.spatial_transforms = [build_transform(s) for s in (spatial_augmentations or [])]
+        self.intensity_transforms = [build_transform(s) for s in (intensity_augmentations or [])]
+        if self.random_crop and self.desired_shape:
+            self.random_cropper = RandSpatialCropD(roi_size=self.desired_shape)
+        else:
+            self.random_cropper = None
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-epoch augmentation stream (explicit-seed analog of
+        torch's per-worker reseeding)."""
+        self.epoch = epoch
+
+    # ------------------------------------------------------------------ prefix
+    def _deterministic_prefix(self, item: Dict[str, Any]) -> Dict[str, Any]:
+        """load -> orient -> one-hot -> crop-foreground -> non-random shape stage."""
+        image = load_image(item["image"], reorder=bool(self.orientation),
+                           axcodes=self.orientation or "RAS", dtype=np.float32)
+        label_data = None
+        if not self.inference and "label" in item:
+            label_vol = load_image(item["label"], reorder=bool(self.orientation),
+                                   axcodes=self.orientation or "RAS")
+            label_data = np.asarray(label_map_to_one_hot(
+                np.asarray(label_vol.data), labels=self.labels), dtype=np.float32)
+        data = np.asarray(image.data, dtype=np.float32)
+        affine = image.affine
+
+        if self.crop_foreground:
+            data, affine, label_data, _ = crop_ops.crop_foreground(
+                data, affine, label=label_data,
+                foreground_percentile=self.foreground_percentile, margin=1)
+
+        if self.desired_shape and not self.random_crop:
+            if self.resample:
+                new_affine = resize_affine(affine, data.shape[-3:], self.desired_shape)
+                data = np.asarray(resize(data, self.desired_shape, mode="trilinear"))
+                if label_data is not None:
+                    label_data = np.asarray(resize(label_data, self.desired_shape,
+                                                   mode="nearest"))
+                affine = new_affine
+            else:
+                data, affine = crop_ops.pad_or_crop(data, self.desired_shape, affine=affine)
+                if label_data is not None:
+                    label_data = crop_ops.pad_or_crop(label_data, self.desired_shape)
+
+        out = {"image": data, "affine": affine,
+               "source_filename": item["image"]}
+        if label_data is not None:
+            out["label"] = label_data
+        return out
+
+    # ------------------------------------------------------------------ random
+    def _random_stages(self, sample: Dict[str, Any], index: int) -> Dict[str, Any]:
+        rng = np.random.RandomState(
+            (self.base_seed * 1_000_003 + self.epoch * 10_007 + index) % (2 ** 31))
+        image = sample["image"]
+        label = sample.get("label")
+        if self.random_cropper is not None:
+            image, label = self.random_cropper(rng, image, label)
+        for t in self.spatial_transforms:
+            image, label = t(rng, image, label)
+        image = apply_normalization(image, self.normalization, self.normalization_kwargs)
+        for t in self.intensity_transforms:
+            image, _ = t(rng, image, label)
+        out = {"image": np.asarray(image, dtype=np.float32), "affine": sample["affine"],
+               "source_filename": sample["source_filename"]}
+        if label is not None:
+            out["label"] = np.asarray(label, dtype=np.float32)
+        return out
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        sample = self._deterministic_prefix(self.filenames[index])
+        return self._random_stages(sample, index)
+
+
+class SegmentationDatasetPersistent(SegmentationDataset):
+    """Disk-cached deterministic prefix (parity: `segmentation.py:125-147`)."""
+
+    def __init__(self, filenames, cache_dir: str, **kwargs):
+        super().__init__(filenames, **kwargs)
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _cache_key(self, item: Dict[str, Any]) -> str:
+        spec = {"item": item, "labels": self.labels,
+                "desired_shape": self.desired_shape, "crop": self.crop_foreground,
+                "fg_pct": self.foreground_percentile, "random_crop": self.random_crop,
+                "resample": self.resample, "orientation": self.orientation,
+                "inference": self.inference}
+        return hashlib.sha1(json.dumps(spec, sort_keys=True, default=str).encode()).hexdigest()
+
+    def _deterministic_prefix(self, item: Dict[str, Any]) -> Dict[str, Any]:
+        path = os.path.join(self.cache_dir, self._cache_key(item) + ".npz")
+        if os.path.exists(path):
+            try:
+                with np.load(path, allow_pickle=True) as data:
+                    out = {"image": data["image"], "affine": data["affine"],
+                           "source_filename": data["source_filename"].tolist()}
+                    if "label" in data.files:
+                        out["label"] = data["label"]
+                    return out
+            except Exception as error:  # corrupt cache entry: recompute
+                logging.warning("Ignoring corrupt cache entry %s (%s)", path, error)
+        out = super()._deterministic_prefix(item)
+        tmp = path + f".tmp{os.getpid()}"
+        np.savez(tmp, **{k: np.asarray(v, dtype=object) if k == "source_filename"
+                         else v for k, v in out.items()})
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+        return out
+
+
+DATASET_REGISTRY = {
+    "SegmentationDataset": SegmentationDataset,
+    "SegmentationDatasetPersistent": SegmentationDatasetPersistent,
+}
+
+
+def load_dataset_class(dataset_config: dict, cache_dir: Optional[str] = None):
+    """Resolve config["dataset"]["name"] and inject cache_dir for Persistent
+    datasets. Parity: `unet3d/utils/filenames.py:180-188`."""
+    name = dataset_config.get("name", "SegmentationDatasetPersistent")
+    if name not in DATASET_REGISTRY:
+        raise ValueError(f"Dataset class {name} is not supported")
+    cls = DATASET_REGISTRY[name]
+    if name.endswith("Persistent") and cache_dir is not None:
+        import functools
+        return functools.partial(cls, cache_dir=cache_dir)
+    return cls
+
+
+def validate_filenames(filenames: Sequence[Dict[str, Any]], raise_on_missing: bool = False):
+    """Silently-skip-missing default with --debug escalation.
+
+    Parity: `unet3d/scripts/train.py:41-44,84-88` behavior contract.
+    """
+    valid = []
+    for item in filenames:
+        paths = []
+        for key in ("image", "label"):
+            v = item.get(key)
+            if v is None:
+                continue
+            paths.extend(v if isinstance(v, (list, tuple)) else [v])
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            if raise_on_missing:
+                raise FileNotFoundError(f"Missing data files: {missing}")
+            warnings.warn(f"Skipping {item}: missing files {missing}")
+            continue
+        valid.append(item)
+    return valid

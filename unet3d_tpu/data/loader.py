@@ -1,0 +1,114 @@
+"""Batching data loader with threaded prefetch.
+
+Replaces the reference's torch/MONAI ``DataLoader``
+(`unet3d/scripts/script_utils.py:124-129`: shuffle / num_workers / pin_memory /
+prefetch_factor). On TPU the analog of pinned-memory worker processes is
+host-side thread parallelism over the numpy/JAX sample pipeline plus
+double-buffered device puts; ``n_workers`` maps to the thread pool width.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def _stack_batch(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    batch: Dict[str, Any] = {}
+    first = samples[0]
+    for key in first:
+        if key in ("image", "label"):
+            batch[key] = np.stack([np.asarray(s[key]) for s in samples])
+        else:
+            batch[key] = [s[key] for s in samples]
+    return batch
+
+
+class DataLoader:
+    """Iterates dicts with stacked ``image``/``label`` arrays plus per-item meta."""
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 num_workers: int = 1, seed: int = 0, prefetch_factor: int = 2,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(int(num_workers), 1)
+        self.seed = seed
+        self.prefetch_factor = max(int(prefetch_factor), 1)
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._index_order()
+        batches: List[np.ndarray] = [order[i:i + self.batch_size]
+                                     for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if self.num_workers <= 1:
+            for idxs in batches:
+                yield _stack_batch([self.dataset[int(i)] for i in idxs])
+            return
+        # Threaded pipeline: samples are produced by a pool, batches assembled in
+        # order, with a bounded queue providing prefetch.
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_factor)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = [pool.submit(lambda ii=idxs: _stack_batch(
+                    [self.dataset[int(i)] for i in ii])) for idxs in batches]
+                for fut in futures:
+                    if stop.is_set():
+                        fut.cancel()
+                        continue
+                    try:
+                        out_q.put(("ok", fut.result()))
+                    except Exception as error:  # propagate to the consumer
+                        out_q.put(("error", error))
+                        return
+            out_q.put(("done", None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == "done":
+                    break
+                if kind == "error":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
+
+
+def build_loader(dataset, batch_size: int = 1, shuffle: bool = False,
+                 num_workers: int = 1, pin_memory: bool = False,
+                 prefetch_factor: int = 2, seed: int = 0) -> DataLoader:
+    """Factory with the reference's DataLoader kwarg surface; ``pin_memory`` is
+    accepted for parity (host->HBM transfer is handled by the device put)."""
+    del pin_memory
+    return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
+                      num_workers=num_workers, prefetch_factor=prefetch_factor,
+                      seed=seed)

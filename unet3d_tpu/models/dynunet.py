@@ -1,0 +1,144 @@
+"""DynUNet — the configurable-topology U-Net that is the reference's de-facto
+default model (`examples/brats2020/brats2020_config.json` model section resolves
+to MONAI ``DynUNet`` through the namespace at
+`unet3d/models/pytorch/__init__.py:1-4`).
+
+nnU-Net style: per-level strides/filters/kernel sizes, instance-norm + leaky-ReLU
+conv blocks (optionally residual), transposed-conv upsampling with skip concat,
+optional deep supervision heads (stacked along axis 1 at train time). NDHWC
+layout; convs are bias-free ahead of the norm, matching the conv->norm->act
+pattern.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from unet3d_tpu.models.layers import _triple, transposed_conv
+from unet3d_tpu.ops.interpolate import resize_ndhwc
+
+IntsOrSeq = Union[int, Sequence[int]]
+
+
+def _instance_norm(channels: int, name: str) -> nn.GroupNorm:
+    # InstanceNorm(affine=True) == GroupNorm with one channel per group.
+    return nn.GroupNorm(num_groups=channels, epsilon=1e-5, name=name)
+
+
+def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class UnetBasicBlock(nn.Module):
+    """conv(stride)-IN-lrelu -> conv(1)-IN-lrelu."""
+    out_channels: int
+    kernel_size: IntsOrSeq = 3
+    stride: IntsOrSeq = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.out_channels, _triple(self.kernel_size),
+                    strides=_triple(self.stride), padding="SAME", use_bias=False,
+                    name="conv1")(x)
+        x = _lrelu(_instance_norm(self.out_channels, "norm1")(x))
+        x = nn.Conv(self.out_channels, _triple(self.kernel_size), strides=(1, 1, 1),
+                    padding="SAME", use_bias=False, name="conv2")(x)
+        return _lrelu(_instance_norm(self.out_channels, "norm2")(x))
+
+
+class UnetResBlock(nn.Module):
+    """Basic block + projected residual (res_block=True config flag)."""
+    out_channels: int
+    kernel_size: IntsOrSeq = 3
+    stride: IntsOrSeq = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        identity = x
+        y = nn.Conv(self.out_channels, _triple(self.kernel_size),
+                    strides=_triple(self.stride), padding="SAME", use_bias=False,
+                    name="conv1")(x)
+        y = _lrelu(_instance_norm(self.out_channels, "norm1")(y))
+        y = nn.Conv(self.out_channels, _triple(self.kernel_size), strides=(1, 1, 1),
+                    padding="SAME", use_bias=False, name="conv2")(y)
+        y = _instance_norm(self.out_channels, "norm2")(y)
+        if x.shape[-1] != self.out_channels or any(s != 1 for s in _triple(self.stride)):
+            identity = nn.Conv(self.out_channels, (1, 1, 1), strides=_triple(self.stride),
+                               padding="VALID", use_bias=False, name="conv3")(identity)
+            identity = _instance_norm(self.out_channels, "norm3")(identity)
+        return _lrelu(y + identity)
+
+
+class UnetUpBlock(nn.Module):
+    """Transposed-conv upsample -> concat skip -> basic block."""
+    out_channels: int
+    kernel_size: IntsOrSeq
+    upsample_kernel_size: IntsOrSeq
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        x = transposed_conv(self.out_channels, self.upsample_kernel_size,
+                            self.upsample_kernel_size, use_bias=False,
+                            name="transp_conv")(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return UnetBasicBlock(self.out_channels, self.kernel_size, 1,
+                              name="conv_block")(x)
+
+
+class DynUNet(nn.Module):
+    """Configurable U-Net with the reference config's exact model-section schema:
+    in_channels / out_channels / spatial_dims / kernel_size / strides /
+    upsample_kernel_size / filters / deep_supervision (+ res_block, deep_supr_num).
+    """
+    in_channels: int = 1
+    out_channels: int = 1
+    spatial_dims: int = 3
+    kernel_size: Tuple = ((3, 3, 3),) * 6
+    strides: Tuple = ((1, 1, 1),) + ((2, 2, 2),) * 5
+    upsample_kernel_size: Tuple = ((2, 2, 2),) * 5
+    filters: Optional[Tuple[int, ...]] = None
+    deep_supervision: bool = False
+    deep_supr_num: int = 1
+    res_block: bool = False
+
+    def _filters(self) -> Tuple[int, ...]:
+        if self.filters is not None:
+            return tuple(int(f) for f in self.filters)
+        return tuple(min(2 ** (5 + i), 320) for i in range(len(self.strides)))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.spatial_dims != 3:
+            raise NotImplementedError("unet3d_tpu DynUNet is 3D")
+        filters = self._filters()
+        n = len(self.strides)
+        block = UnetResBlock if self.res_block else UnetBasicBlock
+
+        skips = []
+        x = block(filters[0], self.kernel_size[0], self.strides[0], name="input_block")(x)
+        skips.append(x)
+        for i in range(1, n - 1):
+            x = block(filters[i], self.kernel_size[i], self.strides[i],
+                      name=f"downsample{i - 1}")(x)
+            skips.append(x)
+        x = block(filters[n - 1], self.kernel_size[n - 1], self.strides[n - 1],
+                  name="bottleneck")(x)
+
+        heads = []
+        for i in range(n - 2, -1, -1):
+            x = UnetUpBlock(filters[i], self.kernel_size[i + 1],
+                            self.upsample_kernel_size[i],
+                            name=f"upsample{n - 2 - i}")(x, skips[i])
+            if self.deep_supervision and 0 < i <= self.deep_supr_num:
+                heads.append(nn.Conv(self.out_channels, (1, 1, 1), padding="VALID",
+                                     name=f"deep_supervision_head{i}")(x))
+
+        out = nn.Conv(self.out_channels, (1, 1, 1), padding="VALID",
+                      name="output_block")(x)
+        if self.deep_supervision and train:
+            full = out.shape[1:4]
+            ups = [resize_ndhwc(h, full, mode="nearest") for h in reversed(heads)]
+            return jnp.stack([out] + ups, axis=1)
+        return out

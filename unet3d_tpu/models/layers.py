@@ -1,0 +1,131 @@
+"""Shared conv/norm building blocks (NDHWC, Flax).
+
+TPU-native counterparts of the reference's conv helpers and Myronenko blocks
+(`unet3d/models/pytorch/classification/resnet.py:12-22`,
+`unet3d/models/pytorch/classification/myronenko.py:5-80`). Channels-last layout
+throughout so XLA tiles the convolutions onto the MXU; GroupNorm follows the
+reference's fallback rule (groups -> channels when not divisible).
+
+Padding parity note: torch Conv3d(kernel=k odd, padding=k//2) produces the same
+output sizes as XLA "SAME" padding for strides 1 and 2, so blocks use SAME.
+torch ConvTranspose3d(kernel=3, stride=2, padding=1) -> out = 2*in - 1 which maps
+to lax.conv_transpose padding ((1,1),)*3; kernel=2, stride=2 -> out = 2*in maps to
+((0,0),)*3.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Ints3 = Union[int, Sequence[int]]
+
+
+def _triple(v: Ints3) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    return tuple(int(x) for x in v)
+
+
+def conv3(features: int, kernel_size: Ints3 = 3, stride: Ints3 = 1,
+          use_bias: bool = True, name: Optional[str] = None) -> nn.Conv:
+    """k-cubed convolution, SAME padding (parity: `resnet.py:12-17` conv3x3x3)."""
+    return nn.Conv(features=features, kernel_size=_triple(kernel_size),
+                   strides=_triple(stride), padding="SAME", use_bias=use_bias,
+                   name=name)
+
+
+def conv1(features: int, stride: Ints3 = 1, use_bias: bool = True,
+          name: Optional[str] = None) -> nn.Conv:
+    """1-cubed (pointwise) convolution (parity: `resnet.py:20-22` conv1x1x1)."""
+    return nn.Conv(features=features, kernel_size=(1, 1, 1), strides=_triple(stride),
+                   padding="VALID", use_bias=use_bias, name=name)
+
+
+def transposed_conv(features: int, kernel_size: Ints3, stride: Ints3,
+                    use_bias: bool = True, name: Optional[str] = None) -> nn.ConvTranspose:
+    """ConvTranspose with torch padding semantics (padding = (k-stride+1)//2 each side
+    when k > stride, else VALID), covering the k=3/s=2 (MirroredDecoder) and k=s
+    (DynUNet) cases."""
+    k = _triple(kernel_size)
+    s = _triple(stride)
+    # torch ConvTranspose padding p gives out = (in-1)*s + k - 2p; flax explicit
+    # padding pairs satisfy out = (in-1)*s - k + 2 + pl + ph, so pl = ph = k-1-p.
+    pads = []
+    for ki, si in zip(k, s):
+        torch_p = max((ki - si + 1) // 2, 0)
+        pads.append((ki - 1 - torch_p, ki - 1 - torch_p))
+    return nn.ConvTranspose(features=features, kernel_size=k, strides=s,
+                            padding=tuple(pads), use_bias=use_bias, name=name)
+
+
+def group_norm_groups(channels: int, norm_groups: int = 8) -> int:
+    """GroupNorm group count with the reference's fallback: when ``channels`` is not
+    divisible by ``norm_groups`` (or smaller), use one group per channel
+    (`myronenko.py:23-31`)."""
+    if channels < norm_groups or channels % norm_groups != 0:
+        return channels
+    return norm_groups
+
+
+class MyronenkoConvBlock(nn.Module):
+    """Pre-activation block: GroupNorm -> ReLU -> conv (`myronenko.py:5-31`)."""
+    planes: int
+    stride: Ints3 = 1
+    norm_groups: int = 8
+    kernel_size: Ints3 = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = nn.GroupNorm(num_groups=group_norm_groups(in_ch, self.norm_groups),
+                         name="norm")(x)
+        x = nn.relu(x)
+        return conv3(self.planes, self.kernel_size, self.stride, name="conv")(x)
+
+
+class MyronenkoResidualBlock(nn.Module):
+    """Two pre-activation conv blocks + identity (1x1x1-projected on width change).
+
+    Parity: `myronenko.py:34-58`.
+    """
+    planes: int
+    stride: Ints3 = 1
+    norm_groups: int = 8
+    kernel_size: Ints3 = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        identity = x
+        y = MyronenkoConvBlock(self.planes, self.stride, self.norm_groups,
+                               self.kernel_size, name="conv1")(x)
+        y = MyronenkoConvBlock(self.planes, self.stride, self.norm_groups,
+                               self.kernel_size, name="conv2")(y)
+        if x.shape[-1] != self.planes:
+            identity = conv1(self.planes, name="sample")(identity)
+        return y + identity
+
+
+class MyronenkoLayer(nn.Module):
+    """n_blocks sequential blocks with channel-dropout after the first.
+
+    Parity: `myronenko.py:61-80` (Dropout3d == whole-channel dropout -> broadcast
+    over the spatial dims in NDHWC).
+    """
+    n_blocks: int
+    planes: int
+    norm_groups: int = 8
+    kernel_size: Ints3 = 3
+    dropout: Optional[float] = None
+    block: Callable = MyronenkoResidualBlock
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(self.n_blocks):
+            x = self.block(self.planes, norm_groups=self.norm_groups,
+                           kernel_size=self.kernel_size, name=f"block{i}")(x)
+            if i == 0 and self.dropout is not None:
+                x = nn.Dropout(rate=self.dropout, broadcast_dims=(1, 2, 3),
+                               deterministic=not train, name="dropout")(x)
+        return x

@@ -1,0 +1,81 @@
+"""Model registry: config ``name`` -> Flax module, plus parameter init.
+
+Parity: `unet3d/models/build.py:9-29` (name lookup over a merged namespace) —
+here an explicit registry instead of star-import getattr, covering both the
+in-repo Myronenko family and the MONAI-name workhorses the example configs use
+(DynUNet; SegResNet-style nets map onto the Myronenko family).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet3d_tpu.models import resnet as resnet_lib
+from unet3d_tpu.models.dynunet import DynUNet
+from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
+from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
+                                           LabeledVariationalAutoEncoder,
+                                           VariationalAutoEncoder)
+
+MODEL_REGISTRY: Dict[str, Any] = {
+    "UNet3D": UNet3D,
+    "AutocastUNet": AutocastUNet,
+    "AutoImplantUNet": AutoImplantUNet,
+    "DynUNet": DynUNet,
+    "ConvolutionalAutoEncoder": ConvolutionalAutoEncoder,
+    "VariationalAutoEncoder": VariationalAutoEncoder,
+    "LabeledVariationalAutoEncoder": LabeledVariationalAutoEncoder,
+    "ResNet": resnet_lib.ResNet,
+}
+
+_FACTORIES = {
+    "resnet_18": resnet_lib.resnet_18,
+    "resnet_34": resnet_lib.resnet_34,
+    "resnet_50": resnet_lib.resnet_50,
+    "resnet_101": resnet_lib.resnet_101,
+    "resnet_152": resnet_lib.resnet_152,
+    "resnext_50_32x4d": resnet_lib.resnext_50_32x4d,
+    "resnext_101_32x8d": resnet_lib.resnext_101_32x8d,
+}
+
+
+def _freeze_lists(value):
+    """Config JSON lists -> tuples so they are valid (hashable) module fields."""
+    if isinstance(value, list):
+        return tuple(_freeze_lists(v) for v in value)
+    return value
+
+
+def fetch_model_by_name(model_name: str):
+    """Parity: `unet3d/models/build.py:9-13` including the error contract."""
+    if model_name in MODEL_REGISTRY:
+        return MODEL_REGISTRY[model_name]
+    if model_name in _FACTORIES:
+        return _FACTORIES[model_name]
+    raise ValueError(f"model name {model_name} not supported")
+
+
+def create_model(model_name: str, **kwargs):
+    """Instantiate a model module from config-section kwargs."""
+    cls = fetch_model_by_name(model_name)
+    kwargs = {k: _freeze_lists(v) for k, v in kwargs.items()}
+    return cls(**kwargs)
+
+
+def model_input_channels(model, default: int = 1) -> int:
+    for attr in ("in_channels", "n_features"):
+        if hasattr(model, attr):
+            return int(getattr(model, attr))
+    return default
+
+
+def init_params(model, input_shape: Tuple[int, ...], seed: int = 0,
+                train: bool = False) -> Dict:
+    """Initialize variables for an NDHWC input of ``input_shape`` (without batch)."""
+    rng = jax.random.PRNGKey(seed)
+    rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+            "sample": jax.random.fold_in(rng, 2)}
+    x = jnp.zeros((1,) + tuple(input_shape), dtype=jnp.float32)
+    return model.init(rngs, x, train=train)

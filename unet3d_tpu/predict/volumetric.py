@@ -1,0 +1,122 @@
+"""Whole-volume prediction: forward -> activation -> resample-to-native -> NIfTI.
+
+Parity: `unet3d/predict/volumetric.py:131-177` — no-grad loop over a dataloader,
+optional inferer (sliding window), sigmoid/softmax activation, optional
+ResampleToMatch back to the original on-disk grid, NIfTI write named after the
+source file; returns the written filenames. Honors a model ``test`` forward
+variant when present (`unet3d/predict/utils.py:40-50`).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet3d_tpu.data import nifti
+from unet3d_tpu.data.image import Volume
+from unet3d_tpu.data.io import load_image
+from unet3d_tpu.ops.resample import resample_to_img
+from unet3d_tpu.train.step import TrainState, to_ndhwc
+
+
+def make_forward(model, state: TrainState, use_test: bool = False) -> Callable:
+    """Jitted inference forward over NDHWC inputs."""
+    supports_test = use_test and "test" in getattr(
+        model.__call__, "__wrapped__", model.__call__).__code__.co_varnames
+
+    def forward(x: jnp.ndarray) -> jnp.ndarray:
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if supports_test:
+            out = model.apply(variables, x, train=False, test=True)
+        else:
+            out = model.apply(variables, x, train=False)
+        if isinstance(out, tuple):  # VAE family returns (out, mu, logvar)
+            out = out[0]
+        return out
+
+    return jax.jit(forward)
+
+
+def apply_activation(pred: jnp.ndarray, activation: Optional[str]) -> jnp.ndarray:
+    """sigmoid / softmax / any jax.numpy or jax.nn function name.
+
+    Parity: `unet3d/predict/volumetric.py:151-156`.
+    """
+    if activation is None:
+        return pred
+    if activation == "sigmoid":
+        return jax.nn.sigmoid(pred)
+    if activation == "softmax":
+        return jax.nn.softmax(pred, axis=-1)
+    for ns in (jnp, jax.nn):
+        fn = getattr(ns, activation, None)
+        if fn is not None:
+            return fn(pred)
+    raise ValueError(f"Unknown activation {activation}")
+
+
+def _prediction_filename(prediction_dir: str, source) -> str:
+    src = source[0] if isinstance(source, (list, tuple)) else source
+    basename = os.path.basename(str(src))
+    for ext in (".nii.gz", ".nii"):
+        if basename.endswith(ext):
+            basename = basename[: -len(ext)]
+            break
+    return os.path.join(prediction_dir, basename + ".nii.gz")
+
+
+def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir: str,
+                           activation: Optional[str] = None, resample: bool = False,
+                           interpolation: str = "trilinear",
+                           inferer: Optional[Callable] = None) -> List[str]:
+    """Run inference over a loader and write one NIfTI per case.
+
+    Parity: `unet3d/predict/volumetric.py:131-177` (forward / inferer, activation,
+    per-item resample back to the native grid with meta from the source file).
+    """
+    os.makedirs(prediction_dir, exist_ok=True)
+    forward = make_forward(model, state, use_test=True)
+    written: List[str] = []
+    for batch in dataloader:
+        x = to_ndhwc(jnp.asarray(batch["image"]))
+        if inferer is not None:
+            pred = inferer(x, forward)
+        else:
+            pred = forward(x)
+        pred = apply_activation(pred.astype(jnp.float32), activation)
+        pred_host = np.asarray(pred)  # (B, D, H, W, C)
+        for i in range(pred_host.shape[0]):
+            item_pred = np.moveaxis(pred_host[i], -1, 0)  # (C, D, H, W)
+            affine = np.asarray(batch["affine"][i])
+            source = batch["source_filename"][i]
+            if resample:
+                original = load_image(source, reorder=False)
+                item_pred = np.asarray(resample_to_img(
+                    item_pred, affine, original.affine, original.spatial_shape,
+                    mode=interpolation))
+                affine = original.affine
+            out_fn = _prediction_filename(prediction_dir, source)
+            Volume(data=item_pred, affine=affine).to_filename(out_fn)
+            written.append(out_fn)
+    return written
+
+
+def predictions_with_tta(model, state: TrainState, x_ndhwc: jnp.ndarray,
+                         inferer: Optional[Callable] = None,
+                         flip_axes=((1,), (2,), (3,))) -> jnp.ndarray:
+    """Test-time flip averaging on device (framework extension; the reference's
+    SPPIN container averages fold models, `examples/sppin/process.py:242-263`)."""
+    forward = make_forward(model, state)
+    run = (lambda z: inferer(z, forward)) if inferer is not None else forward
+    out = run(x_ndhwc)
+    n = 1
+    for axes in flip_axes:
+        flipped = jnp.flip(x_ndhwc, axis=axes)
+        out = out + jnp.flip(run(flipped), axis=axes)
+        n += 1
+    return out / n

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Training CLI — flag-for-flag parity with the reference's `unet3d/scripts/train.py`.
+
+Interprets the JSON config (model / optimizer / loss / scheduler / dataset /
+training / inference / cross_validation / *_filenames), expands cross-validation
+folds recursively, trains with the jitted TPU step, then runs inference on every
+``X_filenames`` group except training (`unet3d/scripts/train.py:54-160`).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import warnings
+
+from unet3d_tpu.config.factory import (add_machine_config_to_parser,
+                                       build_data_loaders_from_config,
+                                       build_inference_loaders_from_config,
+                                       build_inferer_from_config,
+                                       build_optimizer_from_config,
+                                       build_or_load_model_from_config,
+                                       build_scheduler_from_config, check_hierarchy,
+                                       get_activation_from_config,
+                                       get_machine_config,
+                                       load_criterion_from_config,
+                                       load_filenames_from_config,
+                                       setup_cross_validation)
+from unet3d_tpu.data.dataset import load_dataset_class, validate_filenames
+from unet3d_tpu.predict.volumetric import volumetric_predictions
+from unet3d_tpu.train.step import (create_train_state, make_eval_step,
+                                   make_train_step)
+from unet3d_tpu.train.train import run_training
+from unet3d_tpu.utils.config import in_config, load_json
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_filename", required=True,
+                        help="JSON configuration file specifying the parameters "
+                             "for model training.")
+    parser.add_argument("--output_dir", required=False,
+                        help="Output directory where all the outputs will be saved. "
+                             "Defaults to the directory of the configuration file.")
+    parser.add_argument("--setup_crossval_only", action="store_true", default=False,
+                        help="Only write the cross-validation configuration files.")
+    parser.add_argument("--pretrained_model_filename", required=False,
+                        help="If this filename exists prior to training, the model "
+                             "will be loaded from the filename (flexible loading).")
+    parser.add_argument("--batch_size", type=int,
+                        help="Override the batch size from the config file.")
+    parser.add_argument("--debug", action="store_true", default=False,
+                        help="Raises an error if a training file is not found; "
+                             "default silently skips missing files.")
+    add_machine_config_to_parser(parser)
+    parser.add_argument("--n_examples", type=int, default=1,
+                        help="Number of example input/output pairs to write to "
+                             "file for debugging purposes. (default = 1)")
+    return parser.parse_args(args)
+
+
+def run(config_filename, output_dir, namespace):
+    logging.info("Config: %s", config_filename)
+    config = load_json(config_filename)
+    load_filenames_from_config(config)
+
+    work_dir = os.path.join(output_dir, os.path.basename(config_filename).split(".")[0])
+    logging.info("Work Dir: %s", work_dir)
+    os.makedirs(work_dir, exist_ok=True)
+
+    if "cross_validation" in config:
+        cross_validation_config = config.pop("cross_validation")
+        if isinstance(cross_validation_config, list):  # sppin config wraps in a list
+            cross_validation_config = cross_validation_config[0]
+        for _config, _config_filename in setup_cross_validation(
+                config, work_dir=work_dir,
+                n_folds=in_config("n_folds", cross_validation_config,
+                                  in_config("folds", cross_validation_config, 5)),
+                random_seed=in_config("random_seed", cross_validation_config,
+                                      in_config("seed", cross_validation_config, 25))):
+            if not namespace.setup_crossval_only:
+                logging.info("Running cross validation fold: %s", _config_filename)
+                run(_config_filename, work_dir, namespace)
+            else:
+                logging.info("Setup cross validation fold: %s", _config_filename)
+        return
+
+    system_config = get_machine_config(namespace)
+
+    if namespace.debug:
+        config.setdefault("dataset", {})["verbose"] = True
+        warnings.filterwarnings("error")
+    if namespace.batch_size:
+        warnings.warn(RuntimeWarning(
+            "Overwriting the batch size from the configuration file (batch_size={}) "
+            "to batch_size={}".format(config["training"]["batch_size"],
+                                      namespace.batch_size)))
+        config["training"]["batch_size"] = namespace.batch_size
+
+    for key in list(config):
+        if "_filenames" in key:
+            config[key] = validate_filenames(config[key],
+                                             raise_on_missing=namespace.debug)
+
+    model_filename = os.path.join(work_dir, "model.npz")
+    logging.info("Model: %s", model_filename)
+    training_log_filename = os.path.join(work_dir, "training_log.csv")
+    logging.info("Log: %s", training_log_filename)
+
+    check_hierarchy(config)
+    dataset_class = load_dataset_class(config["dataset"],
+                                       cache_dir=os.path.join(work_dir, "cache"))
+    if namespace.n_examples:
+        config["training"]["test_input"] = namespace.n_examples
+
+    training_loader, validation_loader, metric_to_monitor = \
+        build_data_loaders_from_config(config, system_config, work_dir, dataset_class)
+
+    pretrained = namespace.pretrained_model_filename
+    pretrained = os.path.abspath(pretrained) if pretrained else model_filename
+    model, variables = build_or_load_model_from_config(config, pretrained, strict=False)
+    criterion = load_criterion_from_config(config)
+    tx, base_lr = build_optimizer_from_config(config)
+    scheduler = build_scheduler_from_config(config, base_lr)
+    inferer = build_inferer_from_config(config) if "inference" in config else None
+
+    amp = bool(in_config("amp", config["training"], False))
+    state = create_train_state(variables, tx)
+    train_step = make_train_step(model, criterion, tx, amp=amp)
+    eval_step = make_eval_step(model, criterion, inferer=inferer)
+
+    state = run_training(
+        train_step=train_step, eval_step=eval_step, state=state,
+        n_epochs=in_config("n_epochs", config["training"], 1000),
+        training_loader=training_loader, validation_loader=validation_loader,
+        model_filename=model_filename, training_log_filename=training_log_filename,
+        metric_to_monitor=metric_to_monitor,
+        early_stopping_patience=in_config("early_stopping_patience",
+                                          config["training"], None),
+        save_best=in_config("save_best", config["training"], True),
+        save_every_n_epochs=in_config("save_every_n_epochs", config["training"], None),
+        save_last_n_models=in_config("save_last_n_models", config["training"], None),
+        scheduler=scheduler,
+        samples_per_epoch=in_config("samples_per_epoch", config["training"], None),
+        training_iterations_per_epoch=in_config("training_iterations_per_epoch",
+                                                config["training"], 1))
+
+    for _loader, _name in build_inference_loaders_from_config(
+            config, dataset_class=dataset_class, system_config=system_config):
+        prediction_dir = os.path.join(work_dir, _name)
+        os.makedirs(prediction_dir, exist_ok=True)
+        volumetric_predictions(model=model, state=state, dataloader=_loader,
+                               prediction_dir=prediction_dir,
+                               interpolation="trilinear",
+                               resample=in_config("resample", config["dataset"], False),
+                               inferer=inferer,
+                               activation=get_activation_from_config(config))
+
+
+def main(args=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    namespace = parse_args(args)
+    config_filename = os.path.abspath(namespace.config_filename)
+    if namespace.output_dir:
+        output_dir = os.path.abspath(namespace.output_dir)
+    else:
+        output_dir = os.path.dirname(config_filename)
+    run(config_filename, output_dir, namespace)
+
+
+if __name__ == "__main__":
+    main()

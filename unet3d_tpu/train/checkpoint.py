@@ -1,0 +1,99 @@
+"""Checkpointing: flat-npz model variables with flexible (tile/truncate) load.
+
+Parity: every-epoch ``model.pth`` state-dict saves and the non-strict "flexible"
+load that tiles/truncates shape-mismatched tensors for transfer learning across
+label counts (`unet3d/models/build.py:23-64`). Variables are the full Flax
+variable dict (params + batch_stats when present), flattened to '/'-joined keys.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict
+
+import numpy as np
+import jax
+
+from flax.core import freeze, unfreeze
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def _to_flat(variables: Dict) -> Dict[str, np.ndarray]:
+    flat = flatten_dict(unfreeze(variables))
+    return {"/".join(k): np.asarray(v) for k, v in flat.items()}
+
+
+def _from_flat(flat: Dict[str, np.ndarray]) -> Dict:
+    return unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
+
+
+def save_checkpoint(variables: Dict, filename: str) -> None:
+    """Atomic write of the variable pytree as .npz."""
+    tmp = filename + ".tmp"
+    np.savez(tmp, **_to_flat(variables))
+    # np.savez appends .npz to names without an extension
+    if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, filename)
+
+
+def load_checkpoint(filename: str) -> Dict:
+    with np.load(filename) as data:
+        return _from_flat({k: data[k] for k in data.files})
+
+
+def match_tensor_sizes(fixed: np.ndarray, moving: np.ndarray) -> np.ndarray:
+    """Tile-then-truncate ``moving`` to the shape of ``fixed``, dim by dim.
+
+    Parity: `unet3d/models/build.py:54-64` (torch.cat repeats then narrow).
+    """
+    moving = np.asarray(moving)
+    for dim in range(moving.ndim):
+        if fixed.shape[dim] > moving.shape[dim]:
+            reps = [1] * moving.ndim
+            reps[dim] = int(math.ceil(fixed.shape[dim] / moving.shape[dim]))
+            moving = np.tile(moving, reps)
+        if fixed.shape[dim] != moving.shape[dim]:
+            moving = np.take(moving, range(fixed.shape[dim]), axis=dim)
+    return moving
+
+
+def match_state_shapes(fixed_variables: Dict, moving_variables: Dict) -> Dict:
+    """Reshape loaded tensors onto the target pytree's shapes where they differ.
+
+    Parity: `unet3d/models/build.py:47-51`. Keys absent from the checkpoint keep
+    the freshly initialized value; extra checkpoint keys are dropped (non-strict).
+    """
+    fixed_flat = _to_flat(fixed_variables)
+    moving_flat = _to_flat(moving_variables)
+    out = dict(fixed_flat)
+    for key, fixed_val in fixed_flat.items():
+        if key in moving_flat:
+            moving_val = moving_flat[key]
+            if fixed_val.shape != moving_val.shape:
+                moving_val = match_tensor_sizes(fixed_val, moving_val)
+            out[key] = moving_val
+    return _from_flat(out)
+
+
+def load_into(variables: Dict, filename: str, strict: bool = False) -> Dict:
+    """Load a checkpoint into an initialized variable tree.
+
+    strict=True (predict path, `unet3d/scripts/predict.py:84-87`) requires exact
+    keys and shapes; strict=False applies the flexible shape surgery.
+    """
+    loaded = load_checkpoint(filename)
+    if strict:
+        fixed_flat = _to_flat(variables)
+        loaded_flat = _to_flat(loaded)
+        missing = set(fixed_flat) - set(loaded_flat)
+        unexpected = set(loaded_flat) - set(fixed_flat)
+        if missing or unexpected:
+            raise ValueError(f"Strict load failed. Missing: {sorted(missing)[:5]} "
+                             f"Unexpected: {sorted(unexpected)[:5]}")
+        for key, val in fixed_flat.items():
+            if tuple(val.shape) != tuple(loaded_flat[key].shape):
+                raise ValueError(f"Strict load shape mismatch at {key}: "
+                                 f"{val.shape} vs {loaded_flat[key].shape}")
+        return loaded
+    return match_state_shapes(variables, loaded)

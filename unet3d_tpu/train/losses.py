@@ -1,0 +1,323 @@
+"""Loss registry: Dice family, focal, cross-entropy, regression losses.
+
+The reference resolves loss names through unet3d.losses -> torch.nn ->
+monai.losses (`unet3d/scripts/script_utils.py:61-77`), so both torch names
+(``MSELoss``, ``CrossEntropyLoss``) and MONAI names (``DiceLoss``,
+``GeneralizedDiceLoss``) are public API. This module implements that whole menu
+natively in jnp with MONAI's numerics (smooth terms, include_background, batch,
+sigmoid/softmax flags).
+
+Layout: channel-LAST ``(N, ..., C)`` — the on-device layout. Targets are one-hot
+(or continuous for regression).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _apply_activation(pred, sigmoid=False, softmax=False):
+    if sigmoid:
+        return jax.nn.sigmoid(pred)
+    if softmax:
+        return jax.nn.softmax(pred, axis=-1)
+    return pred
+
+
+def _drop_background(pred, target, include_background: bool):
+    if not include_background and pred.shape[-1] > 1:
+        # channel 0 is background by MONAI convention
+        return pred[..., 1:], target[..., 1:]
+    return pred, target
+
+
+class DiceLoss:
+    """MONAI DiceLoss semantics: 1 - (2|X∩Y| + nr) / (|X| + |Y| + dr), reduced
+    over spatial dims (and batch when ``batch=True``), then averaged."""
+
+    def __init__(self, include_background: bool = True, sigmoid: bool = False,
+                 softmax: bool = False, squared_pred: bool = False,
+                 jaccard: bool = False, batch: bool = False,
+                 smooth_nr: float = 1e-5, smooth_dr: float = 1e-5, reduction: str = "mean"):
+        self.include_background = include_background
+        self.sigmoid = sigmoid
+        self.softmax = softmax
+        self.squared_pred = squared_pred
+        self.jaccard = jaccard
+        self.batch = batch
+        self.smooth_nr = smooth_nr
+        self.smooth_dr = smooth_dr
+        self.reduction = reduction
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred = _apply_activation(pred, self.sigmoid, self.softmax)
+        pred, target = _drop_background(pred, target, self.include_background)
+        target = target.astype(pred.dtype)
+        spatial = tuple(range(1, pred.ndim - 1))
+        axes = ((0,) + spatial) if self.batch else spatial
+        intersection = jnp.sum(target * pred, axis=axes)
+        if self.squared_pred:
+            ground = jnp.sum(target ** 2, axis=axes)
+            prediction = jnp.sum(pred ** 2, axis=axes)
+        else:
+            ground = jnp.sum(target, axis=axes)
+            prediction = jnp.sum(pred, axis=axes)
+        denominator = ground + prediction
+        if self.jaccard:
+            denominator = 2.0 * (denominator - intersection)
+        score = (2.0 * intersection + self.smooth_nr) / (denominator + self.smooth_dr)
+        loss = 1.0 - score
+        if self.reduction == "none":
+            return loss
+        if self.reduction == "sum":
+            return jnp.sum(loss)
+        return jnp.mean(loss)
+
+
+class GeneralizedDiceLoss:
+    """MONAI GeneralizedDiceLoss with w_type='square' default."""
+
+    def __init__(self, include_background: bool = True, sigmoid: bool = False,
+                 softmax: bool = False, w_type: str = "square", batch: bool = False,
+                 smooth_nr: float = 1e-5, smooth_dr: float = 1e-5, reduction: str = "mean"):
+        self.include_background = include_background
+        self.sigmoid = sigmoid
+        self.softmax = softmax
+        self.w_type = w_type
+        self.batch = batch
+        self.smooth_nr = smooth_nr
+        self.smooth_dr = smooth_dr
+        self.reduction = reduction
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred = _apply_activation(pred, self.sigmoid, self.softmax)
+        pred, target = _drop_background(pred, target, self.include_background)
+        target = target.astype(pred.dtype)
+        spatial = tuple(range(1, pred.ndim - 1))
+        axes = ((0,) + spatial) if self.batch else spatial
+        intersection = jnp.sum(target * pred, axis=axes)
+        ground = jnp.sum(target, axis=axes)
+        prediction = jnp.sum(pred, axis=axes)
+        if self.w_type == "simple":
+            w = 1.0 / jnp.maximum(ground, 1e-8)
+        elif self.w_type == "uniform":
+            w = jnp.ones_like(ground)
+        else:  # square
+            w = 1.0 / jnp.maximum(ground * ground, 1e-8)
+        w = jnp.where(jnp.isinf(w), jnp.max(jnp.where(jnp.isinf(w), 0.0, w)), w)
+        class_axis = -1  # remaining axis after reduction is channels (maybe + batch)
+        numer = 2.0 * jnp.sum(intersection * w, axis=class_axis) + self.smooth_nr
+        denom = jnp.sum((ground + prediction) * w, axis=class_axis) + self.smooth_dr
+        loss = 1.0 - numer / denom
+        if self.reduction == "none":
+            return loss
+        if self.reduction == "sum":
+            return jnp.sum(loss)
+        return jnp.mean(loss)
+
+
+class FocalLoss:
+    """MONAI FocalLoss (binary-CE focal over one-hot channels), gamma=2."""
+
+    def __init__(self, include_background: bool = True, gamma: float = 2.0,
+                 alpha: Optional[float] = None, weight=None, reduction: str = "mean",
+                 use_softmax: bool = False):
+        self.include_background = include_background
+        self.gamma = gamma
+        self.alpha = alpha
+        self.weight = weight
+        self.reduction = reduction
+        self.use_softmax = use_softmax
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred, target = _drop_background(pred, target, self.include_background)
+        target = target.astype(pred.dtype)
+        if self.use_softmax:
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            p = jnp.exp(logp)
+            loss = -self.alpha_weight() * target * ((1 - p) ** self.gamma) * logp
+        else:
+            # BCE-with-logits focal: p = sigmoid(x)
+            p = jax.nn.sigmoid(pred)
+            ce = (jax.nn.softplus(-pred) * target
+                  + jax.nn.softplus(pred) * (1.0 - target))
+            p_t = p * target + (1 - p) * (1 - target)
+            loss = ce * ((1.0 - p_t) ** self.gamma)
+            if self.alpha is not None:
+                alpha_t = self.alpha * target + (1 - self.alpha) * (1 - target)
+                loss = alpha_t * loss
+        if self.reduction == "none":
+            return loss
+        if self.reduction == "sum":
+            return jnp.sum(loss)
+        return jnp.mean(loss)
+
+    def alpha_weight(self):
+        return 1.0 if self.alpha is None else self.alpha
+
+
+class DiceCELoss:
+    """MONAI DiceCELoss: weighted sum of DiceLoss and cross-entropy/BCE."""
+
+    def __init__(self, include_background: bool = True, sigmoid: bool = False,
+                 softmax: bool = False, squared_pred: bool = False, batch: bool = False,
+                 smooth_nr: float = 1e-5, smooth_dr: float = 1e-5,
+                 lambda_dice: float = 1.0, lambda_ce: float = 1.0):
+        self.dice = DiceLoss(include_background=include_background, sigmoid=sigmoid,
+                             softmax=softmax, squared_pred=squared_pred, batch=batch,
+                             smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+        self.sigmoid = sigmoid
+        self.lambda_dice = lambda_dice
+        self.lambda_ce = lambda_ce
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        dice = self.dice(pred, target)
+        target_f = target.astype(pred.dtype)
+        if self.sigmoid or pred.shape[-1] == 1:
+            ce = jnp.mean(jax.nn.softplus(-pred) * target_f
+                          + jax.nn.softplus(pred) * (1.0 - target_f))
+        else:
+            ce = -jnp.mean(jnp.sum(target_f * jax.nn.log_softmax(pred, axis=-1), axis=-1))
+        return self.lambda_dice * dice + self.lambda_ce * ce
+
+
+class DiceFocalLoss:
+    """MONAI DiceFocalLoss: weighted sum of DiceLoss and FocalLoss."""
+
+    def __init__(self, include_background: bool = True, sigmoid: bool = False,
+                 softmax: bool = False, gamma: float = 2.0, batch: bool = False,
+                 lambda_dice: float = 1.0, lambda_focal: float = 1.0):
+        self.dice = DiceLoss(include_background=include_background, sigmoid=sigmoid,
+                             softmax=softmax, batch=batch)
+        self.focal = FocalLoss(include_background=include_background, gamma=gamma,
+                               use_softmax=softmax)
+        self.lambda_dice = lambda_dice
+        self.lambda_focal = lambda_focal
+
+    def __call__(self, pred, target):
+        return (self.lambda_dice * self.dice(pred, target)
+                + self.lambda_focal * self.focal(pred, target))
+
+
+class CrossEntropyLoss:
+    """torch.nn.CrossEntropyLoss over one-hot/probability targets (channel-last)."""
+
+    def __init__(self, weight=None, reduction: str = "mean", label_smoothing: float = 0.0):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.reduction = reduction
+        self.label_smoothing = label_smoothing
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        target = target.astype(pred.dtype)
+        if self.label_smoothing:
+            n = target.shape[-1]
+            target = target * (1 - self.label_smoothing) + self.label_smoothing / n
+        logp = jax.nn.log_softmax(pred, axis=-1)
+        loss = -jnp.sum(target * logp, axis=-1)
+        if self.weight is not None:
+            w = jnp.sum(target * self.weight, axis=-1)
+            if self.reduction == "mean":
+                return jnp.sum(loss * w) / jnp.sum(w)
+            loss = loss * w
+        if self.reduction == "none":
+            return loss
+        if self.reduction == "sum":
+            return jnp.sum(loss)
+        return jnp.mean(loss)
+
+
+class BCEWithLogitsLoss:
+    def __init__(self, reduction: str = "mean", pos_weight=None):
+        self.reduction = reduction
+        self.pos_weight = None if pos_weight is None else jnp.asarray(pos_weight)
+
+    def __call__(self, pred, target):
+        target = target.astype(pred.dtype)
+        pos = jax.nn.softplus(-pred) * target
+        if self.pos_weight is not None:
+            pos = pos * self.pos_weight
+        loss = pos + jax.nn.softplus(pred) * (1.0 - target)
+        if self.reduction == "none":
+            return loss
+        if self.reduction == "sum":
+            return jnp.sum(loss)
+        return jnp.mean(loss)
+
+
+def _reduce(loss, reduction):
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return jnp.sum(loss)
+    return jnp.mean(loss)
+
+
+class MSELoss:
+    def __init__(self, reduction: str = "mean"):
+        self.reduction = reduction
+
+    def __call__(self, pred, target):
+        return _reduce((pred - target.astype(pred.dtype)) ** 2, self.reduction)
+
+
+class L1Loss:
+    def __init__(self, reduction: str = "mean"):
+        self.reduction = reduction
+
+    def __call__(self, pred, target):
+        return _reduce(jnp.abs(pred - target.astype(pred.dtype)), self.reduction)
+
+
+class SmoothL1Loss:
+    def __init__(self, reduction: str = "mean", beta: float = 1.0):
+        self.reduction = reduction
+        self.beta = beta
+
+    def __call__(self, pred, target):
+        diff = jnp.abs(pred - target.astype(pred.dtype))
+        loss = jnp.where(diff < self.beta, 0.5 * diff ** 2 / self.beta,
+                         diff - 0.5 * self.beta)
+        return _reduce(loss, self.reduction)
+
+
+class VAELoss:
+    """Reconstruction + beta * KL for the VAE family (framework extension; the
+    reference's custom-loss home `unet3d/losses/losses.py` is intentionally empty)."""
+
+    def __init__(self, reconstruction: str = "MSELoss", beta: float = 1.0):
+        self.recon = load_criterion(reconstruction)
+        self.beta = beta
+        self.wants_extras = True
+
+    def __call__(self, pred, target, mu=None, logvar=None):
+        loss = self.recon(pred, target)
+        if mu is not None:
+            kl = -0.5 * jnp.mean(1 + logvar - mu ** 2 - jnp.exp(logvar))
+            loss = loss + self.beta * kl
+        return loss
+
+
+LOSS_REGISTRY = {
+    "DiceLoss": DiceLoss,
+    "GeneralizedDiceLoss": GeneralizedDiceLoss,
+    "FocalLoss": FocalLoss,
+    "DiceCELoss": DiceCELoss,
+    "DiceFocalLoss": DiceFocalLoss,
+    "CrossEntropyLoss": CrossEntropyLoss,
+    "BCEWithLogitsLoss": BCEWithLogitsLoss,
+    "MSELoss": MSELoss,
+    "L1Loss": L1Loss,
+    "SmoothL1Loss": SmoothL1Loss,
+    "VAELoss": VAELoss,
+}
+
+
+def load_criterion(criterion_name: str, loss_kwargs: Optional[dict] = None) -> Callable:
+    """Name -> loss instance (parity with `script_utils.py:61-77` lookup chain)."""
+    if loss_kwargs is None:
+        loss_kwargs = {}
+    if criterion_name not in LOSS_REGISTRY:
+        raise ValueError(f"Loss {criterion_name} is not supported")
+    return LOSS_REGISTRY[criterion_name](**loss_kwargs)

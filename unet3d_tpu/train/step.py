@@ -1,0 +1,140 @@
+"""Jitted train/eval steps over a TrainState pytree.
+
+The TPU-native core of the reference's hot loop
+(`unet3d/train/training_utils.py:40-112`): one fused XLA program per step doing
+NCDHW->NDHWC transpose, bf16-compute forward (the TPU analog of AMP — no loss
+scaler needed, `training_utils.py:65-68`), loss, backward, and optimizer update,
+with the state donated so parameters update in place in HBM.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def create_train_state(variables, tx: optax.GradientTransformation, seed: int = 0) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), rng=jax.random.PRNGKey(seed),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def set_state_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Write the epoch's LR into the inject_hyperparams optimizer state."""
+    opt_state = state.opt_state
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
+
+
+def to_ndhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, D, H, W) host layout -> (B, D, H, W, C) device layout."""
+    return jnp.transpose(x, (0, 2, 3, 4, 1))
+
+
+def from_ndhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+
+def compute_criterion(criterion: Callable, output, target: jnp.ndarray) -> jnp.ndarray:
+    """Apply a loss, handling VAE tuple outputs and deep-supervision stacks."""
+    extras = ()
+    if isinstance(output, tuple):
+        output, *extras = output
+    if getattr(criterion, "wants_extras", False):
+        if len(extras) >= 2:
+            return criterion(output, target, mu=extras[0], logvar=extras[1])
+        return criterion(output, target)
+    if output.ndim == target.ndim + 1:
+        # deep supervision: heads stacked along axis 1, nnU-Net 1/2^i weighting
+        n = output.shape[1]
+        weights = jnp.asarray([0.5 ** i for i in range(n)])
+        weights = weights / jnp.sum(weights)
+        losses = jnp.stack([criterion(output[:, i], target) for i in range(n)])
+        return jnp.sum(weights * losses)
+    return criterion(output, target)
+
+
+def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation,
+                    amp: bool = False) -> Callable:
+    """Build the jitted train step. ``amp`` runs the forward/backward in bfloat16
+    with fp32 master params (reference AMP flag, `train/train.py:33-37`)."""
+
+    def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+        rng, dropout_rng, sample_rng = jax.random.split(state.rng, 3)
+        x = to_ndhwc(images)
+        y = to_ndhwc(labels) if labels.ndim == 5 else labels
+        if amp:
+            x = x.astype(jnp.bfloat16)
+
+        def loss_fn(params):
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+                params) if amp else params
+            variables = {"params": p}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, x, train=True,
+                              rngs={"dropout": dropout_rng, "sample": sample_rng},
+                              mutable=mutable)
+            new_stats = {}
+            if mutable:
+                out, updates = out
+                new_stats = updates["batch_stats"]
+            out_f32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
+            loss = compute_criterion(criterion, out_f32, y.astype(jnp.float32))
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state, rng=rng,
+                                  step=state.step + 1)
+        return new_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = None) -> Callable:
+    """Validation step (no grad): optionally route the forward through an inferer
+    (e.g. sliding window), parity with `training_utils.py:101-112`."""
+
+    def forward(state: TrainState, x: jnp.ndarray):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, x, train=False)
+
+    def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+        x = to_ndhwc(images)
+        y = to_ndhwc(labels) if labels.ndim == 5 else labels
+        out = forward(state, x)
+        out = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
+        return compute_criterion(criterion, out, y.astype(jnp.float32))
+
+    if inferer is not None:
+        def eval_step_inferer(state, images, labels):
+            x = to_ndhwc(images)
+            y = to_ndhwc(labels) if labels.ndim == 5 else labels
+            out = inferer(x, lambda z: forward(state, z))
+            return compute_criterion(criterion, out.astype(jnp.float32),
+                                     y.astype(jnp.float32))
+        return jax.jit(eval_step_inferer)
+    return jax.jit(eval_step)

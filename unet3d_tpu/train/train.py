@@ -1,0 +1,213 @@
+"""Training engine: epoch driver with CSV log, resume, early stop, checkpoints.
+
+Parity: `unet3d/train/train.py:11-124` and the epoch loops of
+`unet3d/train/training_utils.py:20-147` —
+* resume: start_epoch from the last CSV row, scheduler fast-forwarded by
+  replaying logged metrics (`train.py:16-31`);
+* early stopping on monitored-metric patience (`train.py:41-46`), abort on NaN
+  (`train.py:48-50`);
+* per-epoch: train loop with timing meters -> validation (optionally through an
+  inferer) -> CSV rewrite -> scheduler step (ReduceLROnPlateau gets the metric)
+  -> checkpoint save: latest every epoch, `_best` copy on improvement,
+  `_{epoch}` every N, rolling last-N window with deletion (`train.py:85-103`).
+
+The optimizer LR lives inside the jitted TrainState (optax inject_hyperparams);
+the host-side scheduler writes the next epoch's LR into it.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+import time
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from unet3d_tpu.train.checkpoint import save_checkpoint
+from unet3d_tpu.train.meters import AverageMeter, ProgressMeter
+from unet3d_tpu.train.optim import ReduceLROnPlateau, Scheduler
+from unet3d_tpu.train.step import TrainState, set_state_learning_rate
+
+TRAINING_LOG_HEADER = ["epoch", "loss", "lr", "val_loss"]
+
+
+def read_training_log(filename: str) -> List[List[float]]:
+    rows: List[List[float]] = []
+    with open(filename) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        del header
+        for row in reader:
+            rows.append([float(v) if v not in ("", "None") else float("nan")
+                         for v in row])
+    return rows
+
+
+def write_training_log(rows: List[List[float]], filename: str) -> None:
+    """Full rewrite each epoch, indexed by epoch (parity: `train.py:71-73`)."""
+    with open(filename, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(TRAINING_LOG_HEADER)
+        for row in rows:
+            writer.writerow([("" if v is None or (isinstance(v, float) and np.isnan(v))
+                              else v) for v in row])
+
+
+def forced_copy(source: str, target: str) -> None:
+    remove_file(target)
+    shutil.copy(source, target)
+
+
+def remove_file(filename: str) -> None:
+    if os.path.exists(filename):
+        os.remove(filename)
+
+
+def append_to_filename(filename: str, what_to_append) -> str:
+    dirname, basename = os.path.split(filename)
+    name, extension = basename.split(".", 1)
+    return os.path.join(dirname, f"{name}_{what_to_append}.{extension}")
+
+
+def epoch_training(train_loader, train_step, state: TrainState, epoch: int,
+                   samples_per_epoch: Optional[int] = None, print_freq: int = 1):
+    """One pass over the training loader; returns (state, mean loss).
+
+    Parity: `training_utils.py:20-85` (timing meters, samples_per_epoch cap).
+    """
+    batch_time = AverageMeter("Time", ":6.3f")
+    data_time = AverageMeter("Data", ":6.3f")
+    losses = AverageMeter("Loss", ":.4e")
+    progress = ProgressMeter(len(train_loader), [batch_time, data_time, losses],
+                             prefix=f"Epoch: [{epoch}]")
+    end = time.time()
+    n_seen = 0
+    for i, batch in enumerate(train_loader):
+        data_time.update(time.time() - end)
+        images = batch["image"]
+        labels = batch["label"]
+        state, loss = train_step(state, images, labels)
+        loss = float(loss)
+        losses.update(loss, images.shape[0])
+        n_seen += images.shape[0]
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if print_freq and i % print_freq == 0:
+            progress.display(i)
+        if samples_per_epoch is not None and n_seen >= samples_per_epoch:
+            break
+    return state, losses.avg
+
+
+def epoch_validation(val_loader, eval_step, state: TrainState, print_freq: int = 1):
+    """No-grad pass over the validation loader (parity: `training_utils.py:115-147`)."""
+    batch_time = AverageMeter("Time", ":6.3f")
+    losses = AverageMeter("Loss", ":.4e")
+    progress = ProgressMeter(len(val_loader), [batch_time, losses],
+                             prefix="Validation: ")
+    end = time.time()
+    for i, batch in enumerate(val_loader):
+        loss = float(eval_step(state, batch["image"], batch["label"]))
+        losses.update(loss, batch["image"].shape[0])
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if print_freq and i % print_freq == 0:
+            progress.display(i)
+    return losses.avg
+
+
+def _state_variables(state: TrainState) -> dict:
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    return variables
+
+
+def run_training(train_step: Callable, eval_step: Optional[Callable],
+                 state: TrainState, n_epochs: int, training_loader,
+                 validation_loader, training_log_filename: str, model_filename: str,
+                 metric_to_monitor: str = "val_loss",
+                 early_stopping_patience: Optional[int] = None, save_best: bool = False,
+                 save_every_n_epochs: Optional[int] = None,
+                 save_last_n_models: Optional[int] = None,
+                 scheduler: Optional[Scheduler] = None,
+                 samples_per_epoch: Optional[int] = None,
+                 training_iterations_per_epoch: int = 1) -> TrainState:
+    training_log: List[List[float]] = []
+    if os.path.exists(training_log_filename):
+        training_log.extend(read_training_log(training_log_filename))
+        start_epoch = int(training_log[-1][0]) + 1
+    else:
+        start_epoch = 1
+    metric_col = TRAINING_LOG_HEADER.index(metric_to_monitor)
+
+    # Fast-forward the scheduler through already-logged epochs (`train.py:23-31`)
+    if scheduler is not None and start_epoch > 1:
+        for i in range(1, start_epoch):
+            if isinstance(scheduler, ReduceLROnPlateau):
+                metric = np.asarray(training_log)[i - 1, metric_col]
+                scheduler.step(metric)
+            else:
+                scheduler.step()
+        state = set_state_learning_rate(state, scheduler.lr)
+
+    for epoch in range(start_epoch, n_epochs + 1):
+        if training_log:
+            metric = np.asarray(training_log, dtype=np.float64)[:, metric_col]
+        # early stopping (`train.py:41-46`)
+        if (training_log and early_stopping_patience
+                and np.nanargmin(metric) <= len(training_log) - early_stopping_patience):
+            print(f"Early stopping patience {early_stopping_patience} has been reached.")
+            break
+        # NaN stop (`train.py:48-50`)
+        if training_log and np.isnan(metric[-1]):
+            print("Stopping as invalid results were returned.")
+            break
+
+        epoch_losses = []
+        for it in range(training_iterations_per_epoch):
+            training_loader.set_epoch(epoch * training_iterations_per_epoch + it)
+            state, loss = epoch_training(training_loader, train_step, state,
+                                         epoch=epoch, samples_per_epoch=samples_per_epoch)
+            epoch_losses.append(loss)
+        loss = float(np.mean(epoch_losses))
+
+        if validation_loader is not None and eval_step is not None:
+            val_loss = epoch_validation(validation_loader, eval_step, state)
+        else:
+            val_loss = None
+
+        lr = scheduler.lr if scheduler is not None else _current_lr(state)
+        training_log.append([epoch, loss, lr, val_loss])
+        write_training_log(training_log, training_log_filename)
+        min_epoch = int(np.nanargmin(
+            np.asarray(training_log, dtype=np.float64)[:, metric_col]))
+
+        if scheduler is not None:
+            if isinstance(scheduler, ReduceLROnPlateau):
+                scheduler.step(val_loss if validation_loader is not None else loss)
+            else:
+                scheduler.step()
+            state = set_state_learning_rate(state, scheduler.lr)
+
+        # checkpoint family (`train.py:85-103`)
+        save_checkpoint(_state_variables(state), model_filename)
+        if save_best and min_epoch == len(training_log) - 1:
+            forced_copy(model_filename, append_to_filename(model_filename, "best"))
+        if save_every_n_epochs and (epoch % save_every_n_epochs) == 0:
+            forced_copy(model_filename, append_to_filename(model_filename, epoch))
+        if save_last_n_models is not None and save_last_n_models > 1:
+            if not save_every_n_epochs or ((epoch - save_last_n_models)
+                                           % save_every_n_epochs) != 0:
+                remove_file(append_to_filename(model_filename, epoch - save_last_n_models))
+            forced_copy(model_filename, append_to_filename(model_filename, epoch))
+    return state
+
+
+def _current_lr(state: TrainState) -> float:
+    try:
+        return float(state.opt_state.hyperparams["learning_rate"])
+    except (AttributeError, KeyError):
+        return float("nan")
