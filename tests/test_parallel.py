@@ -1,0 +1,85 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+the TPU-world answer to testing multi-node without a cluster)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet3d_tpu.models.registry import create_model, init_params
+from unet3d_tpu.parallel.mesh import (make_mesh, make_sharded_train_step,
+                                      replicate_state, shard_batch)
+from unet3d_tpu.train.losses import DiceLoss
+from unet3d_tpu.train.optim import build_optimizer
+from unet3d_tpu.train.step import create_train_state, make_train_step
+
+
+def _setup(batch=8, size=8):
+    model = create_model("UNet3D", base_width=2, encoder_blocks=[1, 1], n_outputs=1)
+    variables = init_params(model, (size, size, size, 1))
+    tx = build_optimizer("Adam", lr=1e-2)
+    state = create_train_state(variables, tx)
+    rng = np.random.RandomState(0)
+    images = rng.rand(batch, 1, size, size, size).astype(np.float32)
+    labels = (rng.rand(batch, 1, size, size, size) > 0.5).astype(np.float32)
+    return model, tx, state, images, labels
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_data_parallel_step_runs():
+    model, tx, state, images, labels = _setup()
+    mesh = make_mesh({"data": 8})
+    step = make_sharded_train_step(model, DiceLoss(sigmoid=True), tx, mesh)
+    state = replicate_state(state, mesh)
+    x = shard_batch(jnp.asarray(images), mesh)
+    y = shard_batch(jnp.asarray(labels), mesh)
+    new_state, loss = step(state, x, y)
+    assert np.isfinite(float(loss))
+    # params updated and still replicated
+    assert int(new_state.step) == 1
+
+
+def test_dp_matches_single_device():
+    # The mesh-sharded step must compute the same update as the single-device step.
+    model, tx, state, images, labels = _setup()
+    single = make_train_step(model, DiceLoss(sigmoid=True), tx)
+    s1, loss1 = single(state, jnp.asarray(images), jnp.asarray(labels))
+
+    model, tx, state, _, _ = _setup()
+    mesh = make_mesh({"data": 8})
+    sharded = make_sharded_train_step(model, DiceLoss(sigmoid=True), tx, mesh)
+    state = replicate_state(state, mesh)
+    s2, loss2 = sharded(state, shard_batch(jnp.asarray(images), mesh),
+                        shard_batch(jnp.asarray(labels), mesh))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    k1 = jax.device_get(s1.params)["encoder"]["layer0"]["block0"]["conv1"]["conv"]["kernel"]
+    k2 = jax.device_get(s2.params)["encoder"]["layer0"]["block0"]["conv1"]["conv"]["kernel"]
+    np.testing.assert_allclose(k1, k2, atol=2e-6)
+
+
+def test_spatial_parallel_step_runs():
+    # DP x SP mesh: batch over 'data', D spatial axis over 'space' — XLA SPMD
+    # inserts halo exchanges for the convolutions.
+    model, tx, state, images, labels = _setup(batch=2, size=16)
+    mesh = make_mesh({"data": 2, "space": 4})
+    step = make_sharded_train_step(model, DiceLoss(sigmoid=True), tx, mesh)
+    state = replicate_state(state, mesh)
+    new_state, loss = step(state, shard_batch(jnp.asarray(images), mesh),
+                           shard_batch(jnp.asarray(labels), mesh))
+    assert np.isfinite(float(loss))
+
+
+def test_sp_matches_single_device():
+    model, tx, state, images, labels = _setup(batch=2, size=16)
+    single = make_train_step(model, DiceLoss(sigmoid=True), tx)
+    s1, loss1 = single(state, jnp.asarray(images), jnp.asarray(labels))
+
+    model, tx, state, _, _ = _setup(batch=2, size=16)
+    mesh = make_mesh({"data": 2, "space": 4})
+    sharded = make_sharded_train_step(model, DiceLoss(sigmoid=True), tx, mesh)
+    state = replicate_state(state, mesh)
+    s2, loss2 = sharded(state, shard_batch(jnp.asarray(images), mesh),
+                        shard_batch(jnp.asarray(labels), mesh))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)

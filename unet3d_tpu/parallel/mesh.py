@@ -1,0 +1,86 @@
+"""Device-mesh parallelism: data-parallel + spatial-parallel sharded train steps.
+
+This module IS the framework's distributed backend — the TPU-native replacement
+for the reference's entire parallelism story, which is single-process
+``torch.nn.DataParallel`` (`unet3d/models/build.py:18-20`) with no NCCL/MPI
+anywhere (SURVEY.md §2.2). Instead of replica scatter/gather, we lay out a
+``jax.sharding.Mesh`` and annotate shardings; XLA SPMD inserts the collectives
+(gradient all-reduce over ICI for data-parallel; halo exchanges /
+collective-permutes for spatially partitioned convolutions).
+
+Axes:
+* ``data``  — batch dimension (DP). Gradient all-reduce rides ICI.
+* ``space`` — the D spatial axis (SP): the volumetric analog of sequence/context
+  parallelism. Convs on a space-sharded volume get halo exchanges from SPMD,
+  letting whole volumes larger than one chip's HBM train across chips.
+
+Model/tensor parallelism for conv channels is intentionally not wired by
+default — for 3D CNNs at BraTS scale DP+SP covers the memory and throughput
+envelope; the mesh builder accepts a ``model`` axis for experiments.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unet3d_tpu.train.step import TrainState, train_step_body
+
+
+def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    Default: all devices on the ``data`` axis (pure DP). Pass e.g.
+    ``{"data": 2, "space": 4}`` for a DP x SP grid.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if axis_sizes is None:
+        axis_sizes = {"data": len(devices)}
+    names = tuple(axis_sizes.keys())
+    shape = tuple(axis_sizes.values())
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"Mesh needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(grid, names)
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for a (B, C, D, H, W) host batch on this mesh."""
+    data = "data" if "data" in mesh.axis_names else None
+    space = "space" if "space" in mesh.axis_names else None
+    return P(data, None, space, None, None)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with the mesh's batch sharding."""
+    sharding = NamedSharding(mesh, batch_spec(mesh))
+    return jax.device_put(batch, sharding)
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate parameters/optimizer state across the mesh (DP layout)."""
+    replicated = NamedSharding(mesh, P())
+    return jax.device_put(state, replicated)
+
+
+def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
+                            amp: bool = False) -> Callable:
+    """Jit the train step with mesh shardings.
+
+    Parameters are replicated; the batch is sharded over (data, space). Under
+    pjit semantics the mean-reduced loss makes XLA emit the gradient all-reduce
+    (`psum` over ICI) — no hand-written communication, matching the
+    scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
+    collectives.
+    """
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, batch_spec(mesh))
+    return jax.jit(train_step_body(model, criterion, tx, amp=amp),
+                   in_shardings=(replicated, data_sharded, data_sharded),
+                   out_shardings=(replicated, replicated),
+                   donate_argnums=(0,))

@@ -69,10 +69,10 @@ def compute_criterion(criterion: Callable, output, target: jnp.ndarray) -> jnp.n
     return criterion(output, target)
 
 
-def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation,
+def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation,
                     amp: bool = False) -> Callable:
-    """Build the jitted train step. ``amp`` runs the forward/backward in bfloat16
-    with fp32 master params (reference AMP flag, `train/train.py:33-37`)."""
+    """Un-jitted train-step body, shared by the single-device path (jitted below)
+    and the mesh-sharded path (`parallel/mesh.py`)."""
 
     def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         rng, dropout_rng, sample_rng = jax.random.split(state.rng, 3)
@@ -109,7 +109,15 @@ def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation
                                   step=state.step + 1)
         return new_state, loss
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation,
+                    amp: bool = False) -> Callable:
+    """Build the jitted train step. ``amp`` runs the forward/backward in bfloat16
+    with fp32 master params (reference AMP flag, `train/train.py:33-37`)."""
+    return jax.jit(train_step_body(model, criterion, tx, amp=amp),
+                   donate_argnums=(0,))
 
 
 def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = None) -> Callable:
