@@ -1,0 +1,91 @@
+"""Extended model zoo: VQ-VAE-2, FCN, GraphCMR, regularized hybrids."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet3d_tpu.models.graph import faces_to_adjacency_matrix
+from unet3d_tpu.models.registry import create_model, init_params
+
+
+def test_vqvae_forward_and_codebook_ema():
+    m = create_model("VQVAE", in_channel=1, channel=8, n_res_block=1,
+                     n_res_channel=4, embed_dim=4, n_embed=16)
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    (rec, diff), updates = m.apply(v, x, train=True, mutable=["codebook"])
+    assert rec.shape == (1, 16, 16, 16, 1)
+    assert float(diff) > 0
+    # EMA moved the codebook
+    assert not np.allclose(np.asarray(updates["codebook"]["quantize_t"]["embed"]),
+                           np.asarray(v["codebook"]["quantize_t"]["embed"]))
+    # eval mode: no mutation needed
+    rec2, _ = m.apply(v, x, train=False)
+    assert rec2.shape == rec.shape
+
+
+def test_vqvae_straight_through_gradients():
+    m = create_model("VQVAE", in_channel=1, channel=4, n_res_block=1,
+                     n_res_channel=2, embed_dim=2, n_embed=8)
+    v = init_params(m, (8, 8, 8, 1))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 8, 8, 8, 1), jnp.float32)
+
+    def loss_fn(params):
+        rec, diff = m.apply({"params": params, "codebook": v["codebook"]}, x)
+        return jnp.mean((rec - x) ** 2) + 0.25 * diff
+
+    grads = jax.grad(loss_fn)(v["params"])
+    g = np.asarray(grads["enc_b"]["down1"]["kernel"])
+    assert np.abs(g).sum() > 0  # STE lets gradients reach the encoder
+
+
+def test_fcn():
+    m = create_model("FCN", hidden_layers_list=[8, 4], n_inputs=10, n_outputs=3)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 10)))
+    assert m.apply(v, jnp.zeros((2, 10))).shape == (2, 3)
+
+
+def test_graph_cmr_shapes():
+    verts = np.random.RandomState(0).rand(3, 10).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8], [8, 9, 0]])
+    adj = faces_to_adjacency_matrix(10, faces)
+    m = create_model("GraphCMR", ref_vertices=verts, adjacency_matrix=adj,
+                     n_layers=1, n_channels=16, encoder_outputs=32)
+    v = init_params(m, (16, 16, 16, 1))
+    y, _ = m.apply(v, jnp.zeros((2, 16, 16, 16, 1)), train=True,
+                   mutable=["batch_stats"])
+    assert y.shape == (2, 3, 10)
+
+
+def test_adjacency_matrix_row_normalized():
+    adj = faces_to_adjacency_matrix(5, [[0, 1, 2], [2, 3, 4]])
+    np.testing.assert_allclose(adj.sum(axis=1), 1.0, atol=1e-6)
+    assert adj[0, 1] > 0 and adj[1, 0] > 0  # symmetric connectivity
+    assert adj[0, 3] == 0  # unconnected
+
+
+def test_regularized_resnet_outputs():
+    m = create_model("RegularizedResNet", n_outputs=5, input_shape=[16, 16, 16],
+                     base_width=2, encoder_blocks=[1, 1], vae_features=4,
+                     n_reduced_latent_feature_maps=2)
+    v = init_params(m, (16, 16, 16, 1))
+    out, vae_out, mu, logvar = m.apply(v, jnp.zeros((1, 16, 16, 16, 1)))
+    assert out.shape == (1, 5)
+    assert mu.shape == (1, 4) and logvar.shape == (1, 4)
+    assert vae_out.ndim == 5
+
+
+def test_regularized_basic_resnet():
+    m = create_model("RegularizedBasicResNet", n_features=1, n_outputs=4,
+                     decoding_layers=[1, 1, 1], latent_planes=512)
+    v = init_params(m, (16, 16, 16, 1))
+    out, rec = m.apply(v, jnp.zeros((1, 16, 16, 16, 1)))
+    assert out.shape == (1, 4)
+    assert rec.shape == (1, 8, 8, 8, 1)  # 1 -> 2^3 upsampled
+
+
+def test_resnet_with_decoder1d():
+    m = create_model("ResNetWithDecoder1D", n_fc_outputs=16, n_outputs=4096,
+                     initial_upsample=1024)
+    v = init_params(m, (16, 16, 16, 1))
+    y = m.apply(v, jnp.zeros((1, 16, 16, 16, 1)))
+    assert y.shape == (1, 4096, 1)

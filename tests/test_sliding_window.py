@@ -1,0 +1,70 @@
+"""Sliding-window inference tests (MONAI SlidingWindowInferer semantics)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet3d_tpu.predict.sliding_window import (SimpleInferer, SlidingWindowInferer,
+                                               build_inferer, dense_patch_slices,
+                                               gaussian_importance_map)
+
+
+def test_dense_patch_grid_covers_volume():
+    starts = dense_patch_slices((16, 16, 16), (8, 8, 8), (4, 4, 4))
+    covered = np.zeros((16, 16, 16), dtype=bool)
+    for z, y, x in starts:
+        covered[z:z + 8, y:y + 8, x:x + 8] = True
+    assert covered.all()
+    # last window is clamped to the volume edge
+    assert starts.max() == 8
+
+
+def test_identity_network_reconstruction_constant_mode():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 2), jnp.float32)
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8), overlap=0.5, mode="constant")
+    out = inferer(x, lambda patch: patch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_identity_network_reconstruction_gaussian_mode():
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 16, 1), jnp.float32)
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8), overlap=0.25, mode="gaussian")
+    out = inferer(x, lambda patch: patch)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_volume_smaller_than_roi_gets_padded():
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 6, 6, 6, 1), jnp.float32)
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8))
+    out = inferer(x, lambda patch: patch)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_channel_change_through_network():
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 16, 16, 16, 4), jnp.float32)
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8), sw_batch_size=2)
+    out = inferer(x, lambda patch: patch[..., :1] * 2.0)
+    assert out.shape == (2, 16, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x[..., :1]) * 2.0,
+                               atol=1e-5)
+
+
+def test_gaussian_importance_map_properties():
+    m = gaussian_importance_map((8, 8, 8))
+    assert m.shape == (8, 8, 8)
+    assert m.max() == pytest.approx(1.0)
+    assert m[0, 0, 0] < m[4, 4, 4]  # center-weighted
+
+
+def test_simple_inferer_passthrough():
+    x = jnp.ones((1, 4, 4, 4, 1))
+    out = SimpleInferer()(x, lambda z: z + 1)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_build_inferer_registry():
+    inferer = build_inferer("SlidingWindowInferer", roi_size=[8, 8, 8],
+                            sw_batch_size=2, overlap=0.5, mode="gaussian")
+    assert isinstance(inferer, SlidingWindowInferer)
+    with pytest.raises(ValueError):
+        build_inferer("NoSuchInferer")

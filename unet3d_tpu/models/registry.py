@@ -13,11 +13,16 @@ import jax
 import jax.numpy as jnp
 
 from unet3d_tpu.models import resnet as resnet_lib
+from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
+                                      ResNetWithDecoder1D)
 from unet3d_tpu.models.dynunet import DynUNet
+from unet3d_tpu.models.fcn import FCN
+from unet3d_tpu.models.graph import GraphCMR
 from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
 from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
                                            LabeledVariationalAutoEncoder,
                                            VariationalAutoEncoder)
+from unet3d_tpu.models.vqvae2 import VQVAE
 
 MODEL_REGISTRY: Dict[str, Any] = {
     "UNet3D": UNet3D,
@@ -28,6 +33,12 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "VariationalAutoEncoder": VariationalAutoEncoder,
     "LabeledVariationalAutoEncoder": LabeledVariationalAutoEncoder,
     "ResNet": resnet_lib.ResNet,
+    "VQVAE": VQVAE,
+    "FCN": FCN,
+    "GraphCMR": GraphCMR,
+    "RegularizedResNet": RegularizedResNet,
+    "RegularizedBasicResNet": RegularizedBasicResNet,
+    "ResNetWithDecoder1D": ResNetWithDecoder1D,
 }
 
 _FACTORIES = {

@@ -114,19 +114,25 @@ class MyronenkoVariationalLayer(nn.Module):
     align_corners_upsampling: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, sample: bool = True):
+    def __call__(self, x: jnp.ndarray, sample: bool = True,
+                 return_reduced: bool = False):
         reduced_shape = tuple(int(s // self.conv_stride) for s in self.input_shape)
         in_size = int(np.prod(reduced_shape)) * self.reduced_features
         x = MyronenkoConvBlock(self.reduced_features, stride=self.conv_stride,
                                name="in_conv")(x)
-        x = x.reshape(x.shape[0], -1)
+        reduced = x.reshape(x.shape[0], -1)
         x, mu, logvar = VariationalBlock(n_features=self.latent_features,
-                                         out_size=in_size, name="var_block")(x, sample=sample)
+                                         out_size=in_size,
+                                         name="var_block")(reduced, sample=sample)
         x = nn.relu(x)
         x = x.reshape((-1,) + reduced_shape + (self.reduced_features,))
         x = conv1(self.in_features, name="out_conv")(x)
         x = upsample_ndhwc(x, self.conv_stride, self.upsampling_mode,
                            self.align_corners_upsampling)
+        if return_reduced:
+            # RegularizedResNet reads its classification head off the flattened
+            # reduced latent (`custom.py:14-17`)
+            return x, mu, logvar, reduced
         return x, mu, logvar
 
 

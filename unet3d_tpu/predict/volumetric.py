@@ -28,9 +28,7 @@ def make_forward(model, state: TrainState, use_test: bool = False) -> Callable:
         model.__call__, "__wrapped__", model.__call__).__code__.co_varnames
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        variables = {"params": state.params, **state.extra_variables}
         if supports_test:
             out = model.apply(variables, x, train=False, test=True)
         else:

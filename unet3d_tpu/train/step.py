@@ -19,7 +19,7 @@ from flax import struct
 
 class TrainState(struct.PyTreeNode):
     params: Any
-    batch_stats: Any  # {} when the model has no BatchNorm
+    extra_variables: Any  # non-param collections (batch_stats, codebook, ...); {} if none
     opt_state: Any
     rng: jax.Array
     step: jax.Array
@@ -27,8 +27,8 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(variables, tx: optax.GradientTransformation, seed: int = 0) -> TrainState:
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    return TrainState(params=params, batch_stats=batch_stats,
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    return TrainState(params=params, extra_variables=extra,
                       opt_state=tx.init(params), rng=jax.random.PRNGKey(seed),
                       step=jnp.zeros((), jnp.int32))
 
@@ -85,18 +85,15 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
             p = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
                 params) if amp else params
-            variables = {"params": p}
-            mutable = []
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
+            variables = {"params": p, **state.extra_variables}
+            mutable = list(state.extra_variables.keys())
             out = model.apply(variables, x, train=True,
                               rngs={"dropout": dropout_rng, "sample": sample_rng},
                               mutable=mutable)
-            new_stats = {}
+            new_stats = state.extra_variables
             if mutable:
                 out, updates = out
-                new_stats = updates["batch_stats"]
+                new_stats = {**state.extra_variables, **dict(updates)}
             out_f32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
             loss = compute_criterion(criterion, out_f32, y.astype(jnp.float32))
             return loss, new_stats
@@ -104,7 +101,7 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=new_params, batch_stats=new_stats,
+        new_state = state.replace(params=new_params, extra_variables=new_stats,
                                   opt_state=new_opt_state, rng=rng,
                                   step=state.step + 1)
         return new_state, loss
@@ -125,9 +122,7 @@ def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = Non
     (e.g. sliding window), parity with `training_utils.py:101-112`."""
 
     def forward(state: TrainState, x: jnp.ndarray):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        variables = {"params": state.params, **state.extra_variables}
         return model.apply(variables, x, train=False)
 
     def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):

@@ -120,8 +120,8 @@ def epoch_validation(val_loader, eval_step, state: TrainState, print_freq: int =
 
 def _state_variables(state: TrainState) -> dict:
     variables = {"params": jax.device_get(state.params)}
-    if state.batch_stats:
-        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    for name, tree in state.extra_variables.items():
+        variables[name] = jax.device_get(tree)
     return variables
 
 
