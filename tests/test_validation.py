@@ -1,0 +1,56 @@
+"""Error-contract tests: bare inputs must produce instructive errors
+(modeled on `test/test_predict_volumetric.py:74-141` and
+`test/test_augment_validation.py`)."""
+import numpy as np
+import pytest
+
+from unet3d_tpu.data.image import Volume
+from unet3d_tpu.utils.validation import (validate_batch_item, validate_has_affine,
+                                         validate_spatial_volume)
+
+
+def test_bare_array_lacks_affine():
+    with pytest.raises(TypeError, match="affine"):
+        validate_has_affine(np.zeros((1, 4, 4, 4)), context="resampling")
+
+
+def test_error_message_is_instructive():
+    with pytest.raises(TypeError, match="unet3d_tpu.data.load_image"):
+        validate_has_affine([1, 2, 3])
+
+
+def test_volume_passes():
+    validate_has_affine(Volume(data=np.zeros((1, 2, 2, 2)), affine=np.eye(4)))
+
+
+def test_batch_missing_key():
+    with pytest.raises(KeyError, match="source_filename"):
+        validate_batch_item({"image": 1, "affine": 2}, "source_filename")
+
+
+def test_batch_error_lists_available_keys():
+    with pytest.raises(KeyError, match="image"):
+        validate_batch_item({"image": 1}, "label", context="training")
+
+
+def test_spatial_volume_validation():
+    validate_spatial_volume(np.zeros((1, 4, 4, 4)))
+    validate_spatial_volume(np.zeros((4, 4, 4)))
+    with pytest.raises(TypeError, match="hannel-first"):
+        validate_spatial_volume(np.zeros((4, 4)))
+    with pytest.raises(TypeError, match="ndim"):
+        validate_spatial_volume("not an array")
+
+
+def test_predict_rejects_bare_batches():
+    from unet3d_tpu.predict.volumetric import volumetric_predictions
+    from unet3d_tpu.train.step import create_train_state
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.models.registry import create_model, init_params
+
+    model = create_model("UNet3D", base_width=2, encoder_blocks=[1, 1], n_outputs=1)
+    variables = init_params(model, (8, 8, 8, 1))
+    state = create_train_state(variables, build_optimizer("Adam"))
+    bad_loader = [{"image": np.zeros((1, 1, 8, 8, 8), np.float32)}]  # no affine/meta
+    with pytest.raises(KeyError, match="affine"):
+        volumetric_predictions(model, state, bad_loader, "/tmp/should_not_write")

@@ -135,12 +135,25 @@ def read_header(raw: bytes) -> NiftiHeader:
                        cal_max=cal_max, cal_min=cal_min)
 
 
-def load(filename: str, scale: bool = True) -> Tuple[np.ndarray, np.ndarray, NiftiHeader]:
+def load(filename: str, scale: bool = True, prefer_native: bool = False
+         ) -> Tuple[np.ndarray, np.ndarray, Optional[NiftiHeader]]:
     """Read a .nii/.nii.gz file -> (data, affine, header).
 
     ``scale`` applies scl_slope/scl_inter like nibabel's ``dataobj`` access
     (the reference relies on this at `unet3d/utils/utils.py:105`).
+
+    ``prefer_native`` routes through the C++ decoder (unet3d_tpu/native; header
+    is None on that path). Default off: for .nii.gz both paths are zlib-bound
+    and this pure-Python codec is zero-copy after inflate, so it measures
+    slightly faster — the native reader exists for GIL-free embedding in native
+    pipelines, not single-file speed.
     """
+    if prefer_native:
+        from unet3d_tpu import native
+        result = native.load_nifti(filename, scale=scale)
+        if result is not None:
+            data, affine = result
+            return data, affine, None
     with _open_maybe_gz(filename, "rb") as f:
         raw = f.read()
     hdr = read_header(raw)

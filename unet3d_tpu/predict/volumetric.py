@@ -20,6 +20,7 @@ from unet3d_tpu.data.image import Volume
 from unet3d_tpu.data.io import load_image
 from unet3d_tpu.ops.resample import resample_to_img
 from unet3d_tpu.train.step import TrainState, to_ndhwc
+from unet3d_tpu.utils.validation import validate_batch_item
 
 
 def make_forward(model, state: TrainState, use_test: bool = False) -> Callable:
@@ -81,6 +82,8 @@ def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir:
     forward = make_forward(model, state, use_test=True)
     written: List[str] = []
     for batch in dataloader:
+        for key in ("image", "affine", "source_filename"):
+            validate_batch_item(batch, key, context="volumetric prediction")
         x = to_ndhwc(jnp.asarray(batch["image"]))
         if inferer is not None:
             pred = inferer(x, forward)
