@@ -54,3 +54,22 @@ def test_predict_rejects_bare_batches():
     bad_loader = [{"image": np.zeros((1, 1, 8, 8, 8), np.float32)}]  # no affine/meta
     with pytest.raises(KeyError, match="affine"):
         volumetric_predictions(model, state, bad_loader, "/tmp/should_not_write")
+
+
+def test_collate_flatten():
+    from unet3d_tpu.data.loader import collate_5d_flatten
+    b = {"image": np.zeros((2, 3, 1, 8, 8, 8)), "label": np.zeros((2, 3, 1, 8, 8, 8)),
+         "meta": [1, 2]}
+    out = collate_5d_flatten(b)
+    assert out["image"].shape == (6, 1, 8, 8, 8)
+    assert out["meta"] == [1, 2]
+    # already-5D batches pass through untouched
+    assert collate_5d_flatten({"image": np.zeros((2, 1, 4, 4, 4))})["image"].shape \
+        == (2, 1, 4, 4, 4)
+
+
+def test_infer_subject_id():
+    from unet3d_tpu.predict.volumetric import infer_subject_id
+    fns = ["/data/sub01/t1.nii.gz", "/data/sub02/t1.nii.gz"]
+    assert infer_subject_id(fns[0], fns) == "sub01"
+    assert infer_subject_id("/x/caseA/img.nii.gz") == "caseA"

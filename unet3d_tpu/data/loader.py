@@ -27,6 +27,25 @@ def _stack_batch(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return batch
 
 
+def collate_flatten(batch: Dict[str, Any], max_dims: int = 5) -> Dict[str, Any]:
+    """Flatten >5D stacked arrays into the batch dimension.
+
+    Parity: `unet3d/train/training_utils.py:230-240` — patch-stack datasets
+    produce (B, P, C, D, H, W); training consumes (B*P, C, D, H, W).
+    """
+    out = dict(batch)
+    for key in ("image", "label"):
+        arr = out.get(key)
+        if arr is not None and arr.ndim > max_dims:
+            out[key] = arr.reshape((-1,) + arr.shape[arr.ndim - max_dims + 1:])
+    return out
+
+
+def collate_5d_flatten(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Flatten down to 5D (`training_utils.py:238-240`)."""
+    return collate_flatten(batch, max_dims=5)
+
+
 class DataLoader:
     """Iterates dicts with stacked ``image``/``label`` arrays plus per-item meta."""
 

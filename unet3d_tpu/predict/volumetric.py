@@ -107,6 +107,24 @@ def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir:
     return written
 
 
+def infer_subject_id(filename, all_filenames=None) -> str:
+    """Subject id from the path component that differs across cases.
+
+    Parity: `unet3d/predict/utils.py:29-37` (path-diff heuristic); falls back to
+    the file's parent directory name.
+    """
+    fn = filename[0] if isinstance(filename, (list, tuple)) else filename
+    parts = os.path.normpath(str(fn)).split(os.sep)
+    if all_filenames and len(all_filenames) > 1:
+        others = [os.path.normpath(str(f[0] if isinstance(f, (list, tuple)) else f))
+                  .split(os.sep) for f in all_filenames]
+        for i, part in enumerate(parts):
+            values = {o[i] for o in others if len(o) > i}
+            if len(values) > 1:
+                return part
+    return parts[-2] if len(parts) >= 2 else parts[-1]
+
+
 def predictions_with_tta(model, state: TrainState, x_ndhwc: jnp.ndarray,
                          inferer: Optional[Callable] = None,
                          flip_axes=((1,), (2,), (3,))) -> jnp.ndarray:
