@@ -77,3 +77,12 @@ def test_pad_or_crop_mixed():
     data = np.ones((1, 10, 4, 10), dtype=np.float32)
     out = crop.pad_or_crop(data, (4, 8, 4))
     assert out.shape == (1, 4, 8, 4)
+
+
+def test_background_correction_roundtrip():
+    data = np.random.RandomState(0).rand(2, 4, 4, 4).astype(np.float32) + 5.0
+    out = crop.run_with_background_correction(lambda a: a * 1.0, data)
+    np.testing.assert_allclose(out, data, atol=1e-6)
+    bg = crop.get_background_values(data)
+    assert bg.shape == (2, 1, 1, 1)
+    np.testing.assert_allclose(bg[:, 0, 0, 0], data.min(axis=(1, 2, 3)))

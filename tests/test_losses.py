@@ -105,3 +105,31 @@ def test_all_registered_losses_run():
     for name in LOSS_REGISTRY:
         loss = load_criterion(name)(pred, target)
         assert np.isfinite(float(loss)), name
+
+
+def test_deep_supervision_weighting():
+    from unet3d_tpu.train.step import compute_criterion
+    pred_main = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 4, 2),
+                            jnp.float32)
+    pred_head = jnp.asarray(np.random.RandomState(1).randn(1, 4, 4, 4, 2),
+                            jnp.float32)
+    target = jnp.asarray((np.random.RandomState(2).rand(1, 4, 4, 4, 2) > 0.5)
+                         .astype(np.float32))
+    crit = DiceLoss(sigmoid=True)
+    stacked = jnp.stack([pred_main, pred_head], axis=1)  # (B, heads, ...)
+    out = compute_criterion(crit, stacked, target)
+    # nnU-Net 1/2^i weights normalized: (2/3)*main + (1/3)*head
+    expected = (2 / 3) * crit(pred_main, target) + (1 / 3) * crit(pred_head, target)
+    np.testing.assert_allclose(float(out), float(expected), rtol=1e-6)
+
+
+def test_vae_loss_extras_routing():
+    from unet3d_tpu.train.step import compute_criterion
+    from unet3d_tpu.train.losses import VAELoss
+    pred = jnp.zeros((1, 4, 4, 4, 1))
+    target = jnp.zeros((1, 4, 4, 4, 1))
+    mu = jnp.ones((1, 3))
+    logvar = jnp.zeros((1, 3))
+    out = compute_criterion(VAELoss(beta=1.0), (pred, mu, logvar), target)
+    # recon 0 + KL of (mu=1, logvar=0): -0.5*mean(1 + 0 - 1 - 1) = 0.5
+    np.testing.assert_allclose(float(out), 0.5, rtol=1e-6)

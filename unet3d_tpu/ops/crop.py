@@ -84,6 +84,29 @@ def crop_foreground(image, affine: np.ndarray, label=None,
     return image, new_affine, label, slices
 
 
+def get_background_values(data, axis=(-3, -2, -1)) -> np.ndarray:
+    """Per-channel background estimate = the mode-ish corner value (the minimum
+    along the spatial axes), used to zero-shift before geometric ops.
+
+    Parity: `unet3d/utils/nilearn_custom_utils/nilearn_utils.py:104-131`
+    (run_with_background_correction's background estimation).
+    """
+    arr = np.asarray(data)
+    return arr.min(axis=tuple(a if a >= 0 else arr.ndim + a for a in axis),
+                   keepdims=True)
+
+
+def run_with_background_correction(func, data, background=None, axis=(-3, -2, -1),
+                                   **kwargs):
+    """Subtract background -> run func -> add background back
+    (parity: `nilearn_utils.py:104-131`)."""
+    arr = np.asarray(data)
+    if background is None:
+        background = get_background_values(arr, axis=axis)
+    out = func(arr - background, **kwargs)
+    return np.asarray(out) + background
+
+
 def pad_or_crop(data, target_shape: Sequence[int], affine: Optional[np.ndarray] = None,
                 mode: str = "constant", value: float = 0.0):
     """Center pad-or-crop a channel-first array to ``target_shape``.
