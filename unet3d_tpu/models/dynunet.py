@@ -16,7 +16,7 @@ from typing import Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from unet3d_tpu.models.layers import _triple, transposed_conv
+from unet3d_tpu.models.layers import FastConv, _triple, transposed_conv
 from unet3d_tpu.ops.interpolate import resize_ndhwc
 
 IntsOrSeq = Union[int, Sequence[int]]
@@ -39,12 +39,12 @@ class UnetBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.out_channels, _triple(self.kernel_size),
-                    strides=_triple(self.stride), padding="SAME", use_bias=False,
-                    name="conv1")(x)
+        x = FastConv(self.out_channels, _triple(self.kernel_size),
+                     strides=_triple(self.stride), use_bias=False,
+                     name="conv1")(x)
         x = _lrelu(_instance_norm(self.out_channels, "norm1")(x))
-        x = nn.Conv(self.out_channels, _triple(self.kernel_size), strides=(1, 1, 1),
-                    padding="SAME", use_bias=False, name="conv2")(x)
+        x = FastConv(self.out_channels, _triple(self.kernel_size),
+                     strides=(1, 1, 1), use_bias=False, name="conv2")(x)
         return _lrelu(_instance_norm(self.out_channels, "norm2")(x))
 
 
@@ -57,12 +57,12 @@ class UnetResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         identity = x
-        y = nn.Conv(self.out_channels, _triple(self.kernel_size),
-                    strides=_triple(self.stride), padding="SAME", use_bias=False,
-                    name="conv1")(x)
+        y = FastConv(self.out_channels, _triple(self.kernel_size),
+                     strides=_triple(self.stride), use_bias=False,
+                     name="conv1")(x)
         y = _lrelu(_instance_norm(self.out_channels, "norm1")(y))
-        y = nn.Conv(self.out_channels, _triple(self.kernel_size), strides=(1, 1, 1),
-                    padding="SAME", use_bias=False, name="conv2")(y)
+        y = FastConv(self.out_channels, _triple(self.kernel_size),
+                     strides=(1, 1, 1), use_bias=False, name="conv2")(y)
         y = _instance_norm(self.out_channels, "norm2")(y)
         if x.shape[-1] != self.out_channels or any(s != 1 for s in _triple(self.stride)):
             identity = nn.Conv(self.out_channels, (1, 1, 1), strides=_triple(self.stride),

@@ -19,6 +19,8 @@ from typing import Callable, Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
+from unet3d_tpu.ops.conv3d import conv3d
+
 Ints3 = Union[int, Sequence[int]]
 
 
@@ -28,12 +30,36 @@ def _triple(v: Ints3) -> Tuple[int, int, int]:
     return tuple(int(x) for x in v)
 
 
+class FastConv(nn.Module):
+    """Drop-in nn.Conv replacement routing through the strategy-dispatching
+    3D conv (`ops/conv3d.py`): stride-1 odd kernels use the 2D-decomposition
+    formulation that tiles better on the MXU. Parameter names/shapes match
+    nn.Conv ('kernel' DHWIO + 'bias'), so checkpoints are interchangeable."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: str = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(in_axis=(0, 1, 2, 3),
+                                                   out_axis=4),
+            self.kernel_size + (x.shape[-1], self.features))
+        y = conv3d(x, kernel.astype(x.dtype), self.strides, self.padding)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def conv3(features: int, kernel_size: Ints3 = 3, stride: Ints3 = 1,
-          use_bias: bool = True, name: Optional[str] = None) -> nn.Conv:
+          use_bias: bool = True, name: Optional[str] = None) -> nn.Module:
     """k-cubed convolution, SAME padding (parity: `resnet.py:12-17` conv3x3x3)."""
-    return nn.Conv(features=features, kernel_size=_triple(kernel_size),
-                   strides=_triple(stride), padding="SAME", use_bias=use_bias,
-                   name=name)
+    return FastConv(features=features, kernel_size=_triple(kernel_size),
+                    strides=_triple(stride), padding="SAME", use_bias=use_bias,
+                    name=name)
 
 
 def conv1(features: int, stride: Ints3 = 1, use_bias: bool = True,
