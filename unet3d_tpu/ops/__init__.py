@@ -1,1 +1,2 @@
-from unet3d_tpu.ops import affine, one_hot, normalize, resample, threshold, crop
+from unet3d_tpu.ops import (affine, augment, conv3d, crop, interpolate, normalize,
+                            one_hot, resample, threshold)

@@ -125,7 +125,23 @@ def run(config_filename, output_dir, namespace):
 
     amp = bool(in_config("amp", config["training"], False))
     state = create_train_state(variables, tx)
-    train_step = make_train_step(model, criterion, tx, amp=amp)
+    n_devices = int(in_config("n_gpus", system_config, 1))
+    if n_devices > 1:
+        # The reference wraps in DataParallel here (`unet3d/models/build.py:18-20`);
+        # TPU-native: batch sharded over a data-axis mesh, XLA all-reduces grads.
+        import jax
+        from unet3d_tpu.parallel.mesh import (make_mesh, make_sharded_train_step,
+                                              replicate_state, shard_batch)
+        mesh = make_mesh({"data": min(n_devices, len(jax.devices()))})
+        state = replicate_state(state, mesh)
+        sharded_step = make_sharded_train_step(model, criterion, tx, mesh, amp=amp)
+
+        def train_step(s, images, labels):
+            import jax.numpy as jnp
+            return sharded_step(s, shard_batch(jnp.asarray(images), mesh),
+                                shard_batch(jnp.asarray(labels), mesh))
+    else:
+        train_step = make_train_step(model, criterion, tx, amp=amp)
     eval_step = make_eval_step(model, criterion, inferer=inferer)
 
     state = run_training(
