@@ -69,13 +69,20 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
     """Strategy-dispatching 3D convolution (NDHWC / DHWIO).
 
     decomp2d requires stride 1, SAME padding, and an odd depth kernel; other
-    configurations use the XLA path.
+    configurations use the XLA path. The Pallas fused kernel
+    (`ops/pallas/conv3d_kernel.py`) is opt-in via UNET3D_TPU_CONV=pallas —
+    numerically exact but currently DMA-overhead-bound below decomp2d.
     """
     stride = tuple(int(s) for s in stride)
     if _ENV_STRATEGY == "xla":
         return conv3d_xla(x, w, stride, padding)
+    if _ENV_STRATEGY == "pallas":
+        from unet3d_tpu.ops.pallas.conv3d_kernel import (pallas_conv3d,
+                                                         pallas_conv3d_available)
+        if pallas_conv3d_available(x.shape, w.shape, stride, padding):
+            return pallas_conv3d(x, w)
     eligible = (stride == (1, 1, 1) and padding == "SAME"
                 and w.shape[0] % 2 == 1 and w.shape[0] > 1)
-    if eligible and _ENV_STRATEGY in (None, "decomp2d"):
+    if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas"):
         return conv3d_decomp2d(x, w)
     return conv3d_xla(x, w, stride, padding)

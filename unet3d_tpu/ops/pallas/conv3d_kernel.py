@@ -1,0 +1,202 @@
+"""Pallas TPU kernel: fused 3x3x3 stride-1 SAME convolution (NDHWC).
+
+XLA's Conv3D lowering reaches ~26 TFLOPs on v5e for BraTS shapes; this kernel
+reformulates the conv as MXU matmuls over VMEM-resident tiles and reads each
+input voxel from HBM three times (once per depth tap) instead of XLA's many
+passes.
+
+Design (constraints discovered empirically on the v5e Mosaic compiler — 4D DMAs
+and multi-axis DMA windows crash it; dim0 of a 3D array is untiled and slices
+freely; odd static sublane slices, lane concats and merge-reshape matmuls all
+work):
+
+* The padded volume is viewed as a **scanline stack** ``((D+2)*(H+2), W+2, C)``
+  — every (depth, row) pair is one scanline; a (dz, row-range) halo window is a
+  contiguous dim0 range, so each window is ONE legal 3D DMA.
+* Grid ``(D, H//TH)``; each step copies three (TH+2)-scanline slabs (one per
+  depth tap) into VMEM scratch.
+* Compute packs the three W-shifts into the contraction: for each (dz, dy) the
+  slab rows make a ``(TH, W, 3C)`` patch (lane concat of the dx shifts) and one
+  ``(TH*W, 3C) @ (3C, Cout)`` MXU matmul accumulates in f32 — 9 matmuls with
+  K = 3C per tile.
+
+Gradients: dx is the same kernel with spatially-flipped, io-transposed weights;
+dw falls back to XLA's correlation (a well-shaped matmul there).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover - pallas always importable with jax
+    _PALLAS_OK = False
+
+
+_LANES = 128  # the v5e Mosaic DMA path requires minor dim = multiple of 128
+
+
+def _pad_to_lanes(c: int) -> int:
+    return ((c + _LANES - 1) // _LANES) * _LANES
+
+
+def pallas_conv3d_available(shape: Tuple[int, ...], w_shape: Tuple[int, ...],
+                            stride, padding) -> bool:
+    """Kernel applicability: 3-cubed stride-1 SAME convs on dims the tiler
+    accepts (H divisible by the tile height, sublane-friendly W)."""
+    if not _PALLAS_OK:
+        return False
+    if tuple(stride) != (1, 1, 1) or padding != "SAME":
+        return False
+    if tuple(w_shape[:3]) != (3, 3, 3):
+        return False
+    _, d, h, w, c = shape
+    if w % 16 != 0:  # padded W+2 rounds to a bf16-sublane-friendly width
+        return False
+    return _pick_tile(h) is not None
+
+
+def _pick_tile(h: int):
+    for th in (16, 8):
+        if h % th == 0:
+            return th
+    return None
+
+
+def _conv_kernel(th: int, w: int, c: int, cout: int, h_pad: int, d_out: int,
+                 w_total: int, n_h_blocks: int):
+    n_scan = th + 2
+    total_steps = None  # filled below via closure on grid size
+
+    def _halo_base(step):
+        """Scanline index of the first halo row for a flat step index."""
+        hblk = step % n_h_blocks
+        p = step // n_h_blocks
+        n = p // d_out
+        d = p % d_out
+        return (n * (d_out + 2) + d) * h_pad + hblk * th
+
+    def _dma(x_hbm, scratch, sems, base, slot, start=True):
+        for dz in range(3):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(base + dz * h_pad, n_scan)],
+                scratch.at[pl.ds((slot * 3 + dz) * n_scan, n_scan)],
+                sems.at[slot, dz])
+            if start:
+                cp.start()
+            else:
+                cp.wait()
+
+    def kernel(x_hbm, w_ref, o_ref, scratch, sems):
+        p = pl.program_id(0)           # flat (batch, depth) index
+        hblk = pl.program_id(1)
+        step = p * n_h_blocks + hblk
+        n_steps = pl.num_programs(0) * n_h_blocks
+        slot = step % 2
+        base = _halo_base(step)
+        # double buffering: step 0 primes its own slabs; every step prefetches
+        # the next step's slabs into the other slot while computing.
+        @pl.when(step == 0)
+        def _():
+            _dma(x_hbm, scratch, sems, base, 0)
+        nstep = step + 1
+        @pl.when(nstep < n_steps)
+        def _():
+            _dma(x_hbm, scratch, sems, _halo_base(nstep), nstep % 2)
+        _dma(x_hbm, scratch, sems, base, slot, start=False)
+        # 27 K=C matmuls (lane concat into one K=3C dot crashes this Mosaic
+        # version; separate full-lane dots hit the MXU just as well)
+        acc = jnp.zeros((th * w, cout), jnp.float32)
+        slot_off = slot * 3 * n_scan
+        for dz in range(3):
+            for dy in range(3):
+                rows = scratch[pl.ds(slot_off + dz * n_scan + dy, th)]
+                for dx in range(3):
+                    taps = rows[:, dx:dx + w, :]                 # (TH, W, C)
+                    acc = acc + jnp.dot(taps.reshape(th * w, c),
+                                        w_ref[(dz * 3 + dy) * 3 + dx],
+                                        preferred_element_type=jnp.float32)
+        o_ref[:] = acc.reshape(th, w, cout).astype(o_ref.dtype)
+
+    return kernel
+
+
+@jax.jit
+def _conv_batched(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x: (N, D, H, W, C) -> (N, D, H, W, Cout); w: (3, 3, 3, C, Cout).
+
+    The batch is folded into the scanline stack (vmap over an ANY-memspace
+    pallas_call is unsupported); the kernel decomposes its flat grid index.
+    Channels are zero-padded to a multiple of 128 lanes (DMA requirement);
+    the matching zero rows in the packed weights make the padding a no-op.
+    """
+    n, d, h, wd, c = x.shape
+    cout = w.shape[-1]
+    th = _pick_tile(h)
+    cp_ = _pad_to_lanes(c)
+    # pad: spatial halo of 1; W tail-padded so W+2 is sublane-friendly (mult 16)
+    w_pad_total = ((wd + 2 + 15) // 16) * 16
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, w_pad_total - wd - 1),
+                     (0, cp_ - c)))
+    x3 = xp.reshape(n * (d + 2) * (h + 2), w_pad_total, cp_)
+    # weight: (dz, dy, dx, C, Cout) -> (27, Cpad, Cout), tap-major
+    w_padded = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, 0),
+                                           (0, cp_ - c), (0, 0)))
+    w27 = w_padded.reshape(27, cp_, cout)
+    grid = (n * d, h // th)
+    out = pl.pallas_call(
+        _conv_kernel(th, wd, cp_, cout, h + 2, d, w_pad_total, h // th),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((27, cp_, cout), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, wd, cout),
+                               lambda i, j: (i * (h // th) + j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * d * h, wd, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * 3 * (th + 2), w_pad_total, cp_), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )(x3, w27)
+    return out.reshape(n, d, h, wd, cout)
+
+
+@jax.custom_vjp
+def pallas_conv3d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Batched fused conv: x (N, D, H, W, C), w (3, 3, 3, C, Cout), stride 1 SAME."""
+    return _conv_batched(x, w)
+
+
+def _fwd(x, w):
+    return pallas_conv3d(x, w), (x, w)
+
+
+def _bwd(residuals, g):
+    x, w = residuals
+    # dx: conv of g with spatially flipped weights, io transposed
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    dx = _conv_batched(g.astype(x.dtype), w_flip)
+    # dw: correlation via XLA — dw[dz,dy,dx,ci,co] = sum x_pad[.+dz,...,ci] g[...,co]
+    # Cast as a conv with Cin as batch, N as the contracted feature dim:
+    # lhs (C, D+2, H+2, W+2, N) * rhs (D, H, W, N, Cout) VALID -> (C, 3, 3, 3, Cout)
+    dw = jax.lax.conv_general_dilated(
+        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))).transpose(4, 1, 2, 3, 0),
+        g.transpose(1, 2, 3, 0, 4),
+        window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 2, 3, 0, 4).astype(w.dtype)
+    return dx.astype(x.dtype), dw
+
+
+pallas_conv3d.defvjp(_fwd, _bwd)
