@@ -11,11 +11,11 @@ from __future__ import annotations
 import logging
 import os
 from copy import deepcopy
-from typing import Optional
+
 
 import numpy as np
 
-from unet3d_tpu.data.dataset import load_dataset_class, validate_filenames
+
 from unet3d_tpu.data.image import Volume
 from unet3d_tpu.data.loader import build_loader
 from unet3d_tpu.models.registry import create_model, init_params

@@ -26,7 +26,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from unet3d_tpu.data.image import Volume
+
 from unet3d_tpu.data.io import load_image
 from unet3d_tpu.data.transforms import RandSpatialCropD, build_transform
 from unet3d_tpu.ops import crop as crop_ops

@@ -7,7 +7,7 @@ stride-2 conv downsampling between levels, channel dropout(0.2) in level 0.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,8 +7,8 @@ BatchNorm uses the Flax ``batch_stats`` collection; the trainer threads it.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

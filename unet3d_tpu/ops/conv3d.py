@@ -17,7 +17,7 @@ kernels; everything else falls back to XLA.
 from __future__ import annotations
 
 import os
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ Coordinate rules match torch.nn.functional.interpolate (see ops/resample.py).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,7 @@ Layout: channel-first ``(n_labels, D, H, W)``, matching the reference data API.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp

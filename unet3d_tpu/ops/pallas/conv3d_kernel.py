@@ -25,7 +25,7 @@ dw falls back to XLA's correlation (a well-shaped matmul there).
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Tuple
 
 import jax

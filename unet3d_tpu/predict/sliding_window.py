@@ -14,7 +14,7 @@ host round-trips per window.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Sequence, Tuple
 
 import jax

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unet3d_tpu.data import nifti
+
 from unet3d_tpu.data.image import Volume
 from unet3d_tpu.data.io import load_image
 from unet3d_tpu.ops.resample import resample_to_img

@@ -12,7 +12,7 @@ import os
 from typing import Dict
 
 import numpy as np
-import jax
+
 
 from flax.core import freeze, unfreeze
 from flax.traverse_util import flatten_dict, unflatten_dict

@@ -8,7 +8,7 @@ with the state donated so parameters update in place in HBM.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Callable, Optional
 
 import jax
