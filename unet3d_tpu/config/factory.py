@@ -189,14 +189,25 @@ def model_input_shape_from_config(config, default_shape=(64, 64, 64)):
     return tuple(int(s) for s in shape) + (int(channels),)
 
 
-def build_or_load_model_from_config(config, model_filename, strict=False, seed=0):
+def build_or_load_model_from_config(config, model_filename, strict=False, seed=0,
+                                    remat=False):
     """create + init + (flexible|strict) checkpoint load.
 
     Parity: `script_utils.py:51-54` + `unet3d/models/build.py:16-29`.
-    Returns (model, variables).
+    Returns (model, variables). ``remat`` (framework extension, config key
+    ``training.remat``) wraps the model in flax rematerialization — activations
+    are recomputed in the backward pass, trading FLOPs for HBM so larger
+    volumes/batches fit.
     """
     model_cfg = config["model"]
-    model = create_model(model_cfg["name"], **get_kwargs(model_cfg))
+    if remat:
+        import flax.linen as nn
+        from unet3d_tpu.models.registry import _freeze_lists, fetch_model_by_name
+        cls = fetch_model_by_name(model_cfg["name"])
+        kwargs = {k: _freeze_lists(v) for k, v in get_kwargs(model_cfg).items()}
+        model = nn.remat(cls, static_argnums=(2,))(**kwargs)
+    else:
+        model = create_model(model_cfg["name"], **get_kwargs(model_cfg))
     variables = init_params(model, model_input_shape_from_config(config), seed=seed)
     if model_filename and os.path.exists(model_filename):
         logging.info("Loading model weights from %s (strict=%s)", model_filename, strict)

@@ -89,4 +89,5 @@ def init_params(model, input_shape: Tuple[int, ...], seed: int = 0,
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
             "sample": jax.random.fold_in(rng, 2)}
     x = jnp.zeros((1,) + tuple(input_shape), dtype=jnp.float32)
-    return model.init(rngs, x, train=train)
+    # `train` positional: remat-wrapped models mark it static by position
+    return model.init(rngs, x, train)

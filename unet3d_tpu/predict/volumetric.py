@@ -31,9 +31,9 @@ def make_forward(model, state: TrainState, use_test: bool = False) -> Callable:
     def forward(x: jnp.ndarray) -> jnp.ndarray:
         variables = {"params": state.params, **state.extra_variables}
         if supports_test:
-            out = model.apply(variables, x, train=False, test=True)
+            out = model.apply(variables, x, False, test=True)
         else:
-            out = model.apply(variables, x, train=False)
+            out = model.apply(variables, x, False)  # train positional (remat compat)
         if isinstance(out, tuple):  # VAE family returns (out, mu, logvar)
             out = out[0]
         return out

@@ -117,7 +117,9 @@ def run(config_filename, output_dir, namespace):
 
     pretrained = namespace.pretrained_model_filename
     pretrained = os.path.abspath(pretrained) if pretrained else model_filename
-    model, variables = build_or_load_model_from_config(config, pretrained, strict=False)
+    model, variables = build_or_load_model_from_config(
+        config, pretrained, strict=False,
+        remat=bool(in_config("remat", config["training"], False)))
     criterion = load_criterion_from_config(config)
     tx, base_lr = build_optimizer_from_config(config)
     scheduler = build_scheduler_from_config(config, base_lr)

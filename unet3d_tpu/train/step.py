@@ -87,7 +87,9 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
                 params) if amp else params
             variables = {"params": p, **state.extra_variables}
             mutable = list(state.extra_variables.keys())
-            out = model.apply(variables, x, train=True,
+            # `train` passed positionally: nn.remat-wrapped models declare it
+            # static via static_argnums, which only covers positional args
+            out = model.apply(variables, x, True,
                               rngs={"dropout": dropout_rng, "sample": sample_rng},
                               mutable=mutable)
             new_stats = state.extra_variables
@@ -123,7 +125,7 @@ def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = Non
 
     def forward(state: TrainState, x: jnp.ndarray):
         variables = {"params": state.params, **state.extra_variables}
-        return model.apply(variables, x, train=False)
+        return model.apply(variables, x, False)  # positional: see train_step_body
 
     def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         x = to_ndhwc(images)
