@@ -125,3 +125,35 @@ def test_cross_validation_setup(workspace):
     fold1 = json.load(open(os.path.join(work_dir, "fold1.json")))
     assert "validation_filenames" in fold1
     assert len(fold1["training_filenames"]) + len(fold1["validation_filenames"]) == 2
+
+
+def test_train_with_sliding_window_inference_section(workspace):
+    # config with an `inference` section: validation and prediction route
+    # through the SlidingWindowInferer (reference `script_utils.py:290-293`)
+    import json
+    from unet3d_tpu.scripts.train import main
+    config = json.load(open(workspace["config_fn"]))
+    config["training"] = dict(config["training"], n_epochs=1)
+    config["inference"] = {"name": "SlidingWindowInferer", "roi_size": [8, 8, 8],
+                           "sw_batch_size": 2, "overlap": 0.25, "mode": "gaussian"}
+    cfg_fn = str(workspace["root"] / "swi_config.json")
+    json.dump(config, open(cfg_fn, "w"))
+    out = str(workspace["root"] / "swi_out")
+    main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
+    work_dir = os.path.join(out, "swi_config")
+    assert os.path.exists(os.path.join(work_dir, "training_log.csv"))
+    preds = os.listdir(os.path.join(work_dir, "test"))
+    assert any(p.endswith(".nii.gz") for p in preds)
+
+
+def test_train_with_remat(workspace):
+    import json
+    from unet3d_tpu.scripts.train import main
+    config = json.load(open(workspace["config_fn"]))
+    config["training"] = dict(config["training"], n_epochs=1, remat=True)
+    cfg_fn = str(workspace["root"] / "remat_config.json")
+    json.dump(config, open(cfg_fn, "w"))
+    out = str(workspace["root"] / "remat_out")
+    main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
+    log = open(os.path.join(out, "remat_config", "training_log.csv")).read()
+    assert "epoch,loss,lr,val_loss" in log
