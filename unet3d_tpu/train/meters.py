@@ -63,6 +63,27 @@ def human_readable_size(size, decimal_places: int = 1) -> str:
     return f"{size:.{decimal_places}f}{unit}"
 
 
+def device_memory_stats() -> dict:
+    """Per-device HBM usage, human-readable — the TPU analog of
+    `print_gpu_memory` (`training_utils.py:48-57`). Empty dict when the backend
+    doesn't expose stats."""
+    import jax
+    stats = {}
+    for device in jax.local_devices():
+        s = getattr(device, "memory_stats", lambda: None)()
+        if s:
+            stats[str(device)] = {
+                "bytes_in_use": human_readable_size(s.get("bytes_in_use", 0)),
+                "bytes_limit": human_readable_size(s.get("bytes_limit", 0)),
+            }
+    return stats
+
+
+def print_device_memory() -> None:
+    for device, s in device_memory_stats().items():
+        print(f"{device}: {s['bytes_in_use']} / {s['bytes_limit']}", flush=True)
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: str = None):
     """Optional jax.profiler trace around a block (the TPU answer to
