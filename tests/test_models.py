@@ -112,3 +112,18 @@ def test_cae_mirrored_decoder_shape_symmetric():
                      encoder_blocks=[1, 1], decoder_mirrors_encoder=True)
     v = init_params(m, (8, 8, 8, 2))
     assert m.apply(v, jnp.zeros((1, 8, 8, 8, 2))).shape == (1, 8, 8, 8, 2)
+
+
+def test_subpixel_transposed_conv_matches_flax():
+    import flax.linen as nn
+    from unet3d_tpu.models.layers import SubpixelConvTranspose, transposed_conv
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 5, 6, 3), jnp.float32)
+    ref_mod = nn.ConvTranspose(6, (2, 2, 2), strides=(2, 2, 2),
+                               padding=((1, 1),) * 3, use_bias=True)
+    v = ref_mod.init(jax.random.PRNGKey(0), x)
+    fast = transposed_conv(6, 2, 2, use_bias=True)
+    assert isinstance(fast, SubpixelConvTranspose)
+    np.testing.assert_allclose(np.asarray(fast.apply(v, x)),
+                               np.asarray(ref_mod.apply(v, x)), atol=1e-5)
+    # k != s keeps the flax path
+    assert isinstance(transposed_conv(6, 3, 2), nn.ConvTranspose)

@@ -69,13 +69,50 @@ def conv1(features: int, stride: Ints3 = 1, use_bias: bool = True,
                    padding="VALID", use_bias=use_bias, name=name)
 
 
+class SubpixelConvTranspose(nn.Module):
+    """Transposed conv with kernel == stride (no tap overlap): exactly
+    ``out[s*i + a] = x[i] @ w[flip(a)]`` — one MXU matmul plus a subpixel
+    (depth-to-space) interleave, much faster than XLA's fractionally-strided
+    conv lowering (measured 3.6 TFLOPs for the DynUNet k2s2 upsamples).
+    Parameter tree matches nn.ConvTranspose ('kernel' (k,k,k,Cin,Cout) + 'bias'),
+    so checkpoints interchange."""
+    features: int
+    kernel_size: Tuple[int, int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(in_axis=(0, 1, 2, 3), out_axis=4),
+            k + (c, self.features))
+        n, d, h, w = x.shape[:4]
+        # flax ConvTranspose applies the kernel tap-reversed; flip to match
+        wf = jnp.flip(kernel, axis=(0, 1, 2)).astype(x.dtype)
+        wm = jnp.transpose(wf, (3, 0, 1, 2, 4)).reshape(
+            c, k[0] * k[1] * k[2] * self.features)
+        y = jnp.einsum("ndhwc,ck->ndhwk", x, wm)
+        y = y.reshape(n, d, h, w, k[0], k[1], k[2], self.features)
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+        y = y.reshape(n, d * k[0], h * k[1], w * k[2], self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def transposed_conv(features: int, kernel_size: Ints3, stride: Ints3,
-                    use_bias: bool = True, name: Optional[str] = None) -> nn.ConvTranspose:
+                    use_bias: bool = True, name: Optional[str] = None) -> nn.Module:
     """ConvTranspose with torch padding semantics (padding = (k-stride+1)//2 each side
     when k > stride, else VALID), covering the k=3/s=2 (MirroredDecoder) and k=s
-    (DynUNet) cases."""
+    (DynUNet) cases. The kernel == stride case routes through the subpixel
+    matmul formulation (identical params and outputs)."""
     k = _triple(kernel_size)
     s = _triple(stride)
+    if k == s:
+        return SubpixelConvTranspose(features=features, kernel_size=k,
+                                     use_bias=use_bias, name=name)
     # torch ConvTranspose padding p gives out = (in-1)*s + k - 2p; flax explicit
     # padding pairs satisfy out = (in-1)*s - k + 2 + pl + ph, so pl = ph = k-1-p.
     pads = []
