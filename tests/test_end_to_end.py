@@ -157,3 +157,30 @@ def test_train_with_remat(workspace):
     main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
     log = open(os.path.join(out, "remat_config", "training_log.csv")).read()
     assert "epoch,loss,lr,val_loss" in log
+
+
+def test_save_optimizer_resume(workspace):
+    # optimizer moments persist across resume (framework extension; the
+    # reference loses Adam state on restart)
+    import json
+    import numpy as np
+    from unet3d_tpu.scripts.train import main
+    config = json.load(open(workspace["config_fn"]))
+    config["training"] = dict(config["training"], n_epochs=2, save_optimizer=True)
+    cfg_fn = str(workspace["root"] / "opt_config.json")
+    json.dump(config, open(cfg_fn, "w"))
+    out = str(workspace["root"] / "opt_out")
+    main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
+    work_dir = os.path.join(out, "opt_config")
+    opt_fn = os.path.join(work_dir, "model_optimizer.npz")
+    assert os.path.exists(opt_fn)
+    with np.load(opt_fn) as data:
+        saved_leaves = {k: data[k].copy() for k in data.files}
+    # the Adam moment leaves must be non-trivial (training actually ran)
+    assert any(np.abs(v).sum() > 0 for v in saved_leaves.values())
+    # resume 1 more epoch; must not crash and must keep saving the state
+    config["training"]["n_epochs"] = 3
+    json.dump(config, open(cfg_fn, "w"))
+    main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
+    log = open(os.path.join(work_dir, "training_log.csv")).read().strip().splitlines()
+    assert len(log) == 4

@@ -160,7 +160,8 @@ def run(config_filename, output_dir, namespace):
         scheduler=scheduler,
         samples_per_epoch=in_config("samples_per_epoch", config["training"], None),
         training_iterations_per_epoch=in_config("training_iterations_per_epoch",
-                                                config["training"], 1))
+                                                config["training"], 1),
+        save_optimizer=bool(in_config("save_optimizer", config["training"], False)))
 
     for _loader, _name in build_inference_loaders_from_config(
             config, dataset_class=dataset_class, system_config=system_config):

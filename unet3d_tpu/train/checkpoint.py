@@ -42,6 +42,44 @@ def load_checkpoint(filename: str) -> Dict:
         return _from_flat({k: data[k] for k in data.files})
 
 
+def save_opt_state(opt_state, filename: str) -> None:
+    """Persist an optax optimizer state (framework extension; the reference never
+    checkpoints optimizer moments, `SURVEY.md` §5, which makes resumed training
+    take a loss hit while Adam re-estimates them).
+
+    Leaves are stored positionally; the tree structure is NOT stored — restore
+    requires a structurally identical freshly-initialized state as template.
+    """
+    import jax
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    tmp = filename + ".tmp"
+    np.savez(tmp, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, filename)
+
+
+def load_opt_state(opt_state_template, filename: str):
+    """Restore an optimizer state saved by `save_opt_state` into the structure of
+    ``opt_state_template``. Returns the template unchanged on any mismatch."""
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    try:
+        with np.load(filename) as data:
+            loaded = [data[f"leaf_{i}"] for i in range(len(data.files))]
+        if len(loaded) != len(leaves):
+            return opt_state_template
+        cast = []
+        for tmpl, val in zip(leaves, loaded):
+            arr = np.asarray(val)
+            if hasattr(tmpl, "shape") and tuple(arr.shape) != tuple(tmpl.shape):
+                return opt_state_template
+            cast.append(arr.astype(tmpl.dtype) if hasattr(tmpl, "dtype") else arr)
+        return jax.tree_util.tree_unflatten(treedef, cast)
+    except Exception:
+        return opt_state_template
+
+
 def match_tensor_sizes(fixed: np.ndarray, moving: np.ndarray) -> np.ndarray:
     """Tile-then-truncate ``moving`` to the shape of ``fixed``, dim by dim.
 

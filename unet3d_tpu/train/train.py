@@ -25,7 +25,8 @@ from typing import Callable, List, Optional
 import jax
 import numpy as np
 
-from unet3d_tpu.train.checkpoint import save_checkpoint
+from unet3d_tpu.train.checkpoint import (load_opt_state, save_checkpoint,
+                                         save_opt_state)
 from unet3d_tpu.train.meters import AverageMeter, ProgressMeter
 from unet3d_tpu.train.optim import ReduceLROnPlateau, Scheduler
 from unet3d_tpu.train.step import TrainState, set_state_learning_rate
@@ -134,7 +135,8 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
                  save_last_n_models: Optional[int] = None,
                  scheduler: Optional[Scheduler] = None,
                  samples_per_epoch: Optional[int] = None,
-                 training_iterations_per_epoch: int = 1) -> TrainState:
+                 training_iterations_per_epoch: int = 1,
+                 save_optimizer: bool = False) -> TrainState:
     training_log: List[List[float]] = []
     if os.path.exists(training_log_filename):
         training_log.extend(read_training_log(training_log_filename))
@@ -142,6 +144,13 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
     else:
         start_epoch = 1
     metric_col = TRAINING_LOG_HEADER.index(metric_to_monitor)
+
+    optimizer_filename = append_to_filename(model_filename, "optimizer")
+    if save_optimizer and start_epoch > 1 and os.path.exists(optimizer_filename):
+        # framework extension over the reference (which replays LR schedules but
+        # loses Adam moments on resume): restore the optimizer state exactly
+        state = state.replace(opt_state=load_opt_state(state.opt_state,
+                                                       optimizer_filename))
 
     # Fast-forward the scheduler through already-logged epochs (`train.py:23-31`)
     if scheduler is not None and start_epoch > 1:
@@ -194,6 +203,8 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
 
         # checkpoint family (`train.py:85-103`)
         save_checkpoint(_state_variables(state), model_filename)
+        if save_optimizer:
+            save_opt_state(jax.device_get(state.opt_state), optimizer_filename)
         if save_best and min_epoch == len(training_log) - 1:
             forced_copy(model_filename, append_to_filename(model_filename, "best"))
         if save_every_n_epochs and (epoch % save_every_n_epochs) == 0:
