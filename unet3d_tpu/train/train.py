@@ -85,13 +85,16 @@ def epoch_training(train_loader, train_step, state: TrainState, epoch: int,
                              prefix=f"Epoch: [{epoch}]")
     end = time.time()
     n_seen = 0
+    pending = None  # (device loss, batch size) — synced one step late so the
+    # host can prep batch i+1 while the device still runs step i
     for i, batch in enumerate(train_loader):
         data_time.update(time.time() - end)
         images = batch["image"]
         labels = batch["label"]
         state, loss = train_step(state, images, labels)
-        loss = float(loss)
-        losses.update(loss, images.shape[0])
+        if pending is not None:
+            losses.update(float(pending[0]), pending[1])
+        pending = (loss, images.shape[0])
         n_seen += images.shape[0]
         batch_time.update(time.time() - end)
         end = time.time()
@@ -99,6 +102,8 @@ def epoch_training(train_loader, train_step, state: TrainState, epoch: int,
             progress.display(i)
         if samples_per_epoch is not None and n_seen >= samples_per_epoch:
             break
+    if pending is not None:
+        losses.update(float(pending[0]), pending[1])
     return state, losses.avg
 
 
@@ -165,8 +170,10 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
     for epoch in range(start_epoch, n_epochs + 1):
         if training_log:
             metric = np.asarray(training_log, dtype=np.float64)[:, metric_col]
-        # early stopping (`train.py:41-46`)
+        # early stopping (`train.py:41-46`); all-NaN metric falls through to the
+        # NaN-abort below instead of crashing nanargmin
         if (training_log and early_stopping_patience
+                and not np.all(np.isnan(metric))
                 and np.nanargmin(metric) <= len(training_log) - early_stopping_patience):
             print(f"Early stopping patience {early_stopping_patience} has been reached.")
             break
@@ -191,8 +198,9 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
         lr = scheduler.lr if scheduler is not None else _current_lr(state)
         training_log.append([epoch, loss, lr, val_loss])
         write_training_log(training_log, training_log_filename)
-        min_epoch = int(np.nanargmin(
-            np.asarray(training_log, dtype=np.float64)[:, metric_col]))
+        metric_history = np.asarray(training_log, dtype=np.float64)[:, metric_col]
+        min_epoch = (-1 if np.all(np.isnan(metric_history))
+                     else int(np.nanargmin(metric_history)))
 
         if scheduler is not None:
             if isinstance(scheduler, ReduceLROnPlateau):
