@@ -33,7 +33,8 @@ from unet3d_tpu.ops import crop as crop_ops
 from unet3d_tpu.ops import normalize as normalize_ops
 from unet3d_tpu.ops.affine import resize_affine
 from unet3d_tpu.ops.one_hot import label_map_to_one_hot
-from unet3d_tpu.ops.resample import resize
+from unet3d_tpu.ops.resample import resize_bucketed
+from unet3d_tpu.utils.device import data_device_scope
 
 _NORMALIZATION_ALIASES = {
     "zero_mean": "normalize_intensity",
@@ -134,10 +135,15 @@ class SegmentationDataset:
         if self.desired_shape and not self.random_crop:
             if self.resample:
                 new_affine = resize_affine(affine, data.shape[-3:], self.desired_shape)
-                data = np.asarray(resize(data, self.desired_shape, mode="trilinear"))
+                # bucketed resize: per-case crop shapes would otherwise force one
+                # XLA compile per case (static-shapes strategy, SURVEY.md §7)
+                true_shape = data.shape[-3:]
+                data = np.asarray(resize_bucketed(data, true_shape,
+                                                  self.desired_shape,
+                                                  mode="trilinear"))
                 if label_data is not None:
-                    label_data = np.asarray(resize(label_data, self.desired_shape,
-                                                   mode="nearest"))
+                    label_data = np.asarray(resize_bucketed(
+                        label_data, true_shape, self.desired_shape, mode="nearest"))
                 affine = new_affine
             else:
                 data, affine = crop_ops.pad_or_crop(data, self.desired_shape, affine=affine)
@@ -170,8 +176,11 @@ class SegmentationDataset:
         return out
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        sample = self._deterministic_prefix(self.filenames[index])
-        return self._random_stages(sample, index)
+        # preprocessing math runs on the data device (CPU by default: in
+        # tunneled environments host<->accelerator bandwidth dwarfs compute)
+        with data_device_scope():
+            sample = self._deterministic_prefix(self.filenames[index])
+            return self._random_stages(sample, index)
 
 
 class SegmentationDatasetPersistent(SegmentationDataset):

@@ -66,6 +66,15 @@ def crop_img(data, affine: np.ndarray, rtol: float = 1e-8,
     return cropped, new_affine
 
 
+def _percentile_threshold_np(image: np.ndarray, percentile: float) -> np.ndarray:
+    """numpy twin of ops/threshold.percentile_threshold — raw volumes have
+    per-case shapes, and a jnp version would force one XLA compile per case."""
+    flat = image.reshape(image.shape[:-3] + (-1,))
+    cutoffs = np.percentile(flat.astype(np.float32), percentile * 100.0, axis=-1)
+    mask = image > cutoffs[..., None, None, None].astype(image.dtype)
+    return np.any(mask, axis=-4, keepdims=True)
+
+
 def crop_foreground(image, affine: np.ndarray, label=None,
                     foreground_percentile: float = 0.1, margin: int = 1):
     """MONAI ``CropForegroundD``-equivalent: bbox of ``percentile_threshold`` mask
@@ -73,7 +82,7 @@ def crop_foreground(image, affine: np.ndarray, label=None,
 
     Parity: `unet3d/datasets/segmentation.py:55-58` + `unet3d/utils/threshold.py:6-15`.
     """
-    mask = np.asarray(percentile_threshold(np.asarray(image), foreground_percentile))
+    mask = _percentile_threshold_np(np.asarray(image), foreground_percentile)
     slices = foreground_slices(mask.astype(np.uint8), rtol=0.5, pad=margin)
     if slices is None:
         return image, np.asarray(affine), label, tuple(slice(0, s) for s in image.shape[-3:])

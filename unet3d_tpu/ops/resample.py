@@ -59,6 +59,12 @@ def sample_at_coords(data: jnp.ndarray, coords: jnp.ndarray, mode: str = "trilin
     shape = data.shape[-3:]
     data_flat = data.reshape(data.shape[0], -1)
     cz, cy, cx = coords[0], coords[1], coords[2]
+    if mode == "nearest_floor":
+        # torch legacy-nearest: floor of the (pre-scaled) source coordinate
+        z = jnp.floor(cz).astype(jnp.int32)
+        y = jnp.floor(cy).astype(jnp.int32)
+        x = jnp.floor(cx).astype(jnp.int32)
+        return _flat_gather(data_flat, z, y, x, shape)
     if mode in _NEAREST_MODES:
         z = jnp.round(cz).astype(jnp.int32)
         y = jnp.round(cy).astype(jnp.int32)
@@ -98,11 +104,13 @@ def _dst_voxel_grid(dst_shape) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("dst_shape", "mode"))
 def resample_transform(data: jnp.ndarray, transform: jnp.ndarray, dst_shape: tuple,
-                       mode: str = "trilinear") -> jnp.ndarray:
+                       mode: str = "trilinear", clip_max=None) -> jnp.ndarray:
     """Resample with a 4x4 dst-voxel -> src-voxel ``transform``.
 
     ``transform`` may be a traced array (one compilation serves all affines of a
-    given shape pair).
+    given shape pair). ``clip_max`` (traced, shape (3,)) clamps source
+    coordinates to [0, clip_max] per axis — used by the bucketed resize, where
+    the physical extent is smaller than the padded array.
     """
     grid = _dst_voxel_grid(dst_shape)  # (3, D, H, W)
     rot = transform[:3, :3].astype(jnp.float32)
@@ -113,7 +121,57 @@ def resample_transform(data: jnp.ndarray, transform: jnp.ndarray, dst_shape: tup
         rot[i, 0] * grid[0] + rot[i, 1] * grid[1] + rot[i, 2] * grid[2] + trans[i]
         for i in range(3)
     ])
+    if clip_max is not None:
+        clip_max = jnp.asarray(clip_max, jnp.float32)
+        coords = jnp.clip(coords, 0.0, clip_max[:, None, None, None])
     return sample_at_coords(data, coords, mode=mode)
+
+
+def _bucket(size: int, granularity: int = 32) -> int:
+    return ((size + granularity - 1) // granularity) * granularity
+
+
+def resize_bucketed(data, true_shape, out_shape: tuple, mode: str = "trilinear",
+                    align_corners: bool = False, granularity: int = 32):
+    """torch-interpolate resize where only a *bucketed* input shape is compiled.
+
+    Per-case medical volumes (especially after foreground cropping) all have
+    different shapes; jitting `resize` directly recompiles per case. Here the
+    input is zero-padded up to the next ``granularity`` multiple per axis and
+    the true shape enters as traced values inside the sampling transform — one
+    XLA program serves every case in the same bucket (the static-shapes
+    strategy from SURVEY.md §7).
+    """
+    data = np.asarray(data)
+    true_shape = tuple(int(s) for s in true_shape)
+    out_shape = tuple(int(s) for s in out_shape)
+    padded_shape = tuple(_bucket(s, granularity) for s in true_shape)
+    pad = [(0, 0)] * (data.ndim - 3) + [(0, p - s) for p, s in
+                                        zip(padded_shape, true_shape)]
+    padded = np.pad(data, pad)
+    ts = jnp.asarray(true_shape, jnp.float32)
+    os_ = jnp.asarray(out_shape, jnp.float32)
+    if mode in _NEAREST_MODES:
+        # torch legacy nearest: src = floor(v * in/out)
+        scale = ts / os_
+        transform = jnp.zeros((4, 4)).at[3, 3].set(1.0)
+        for i in range(3):
+            transform = transform.at[i, i].set(scale[i])
+        out = resample_transform(jnp.asarray(padded), transform, out_shape,
+                                 mode="nearest_floor", clip_max=ts - 1)
+        return out
+    if align_corners:
+        scale = (ts - 1) / jnp.maximum(os_ - 1, 1)
+        offset = jnp.zeros(3)
+    else:
+        scale = ts / os_
+        offset = 0.5 * scale - 0.5
+    transform = jnp.zeros((4, 4)).at[3, 3].set(1.0)
+    for i in range(3):
+        transform = transform.at[i, i].set(scale[i])
+        transform = transform.at[i, 3].set(offset[i])
+    return resample_transform(jnp.asarray(padded), transform, out_shape,
+                              mode=mode, clip_max=ts - 1)
 
 
 def resample(data, src_affine, dst_affine, dst_shape, mode: str = "trilinear",
