@@ -1,0 +1,78 @@
+"""Augmentation-registry tests: every MONAI-named transform runs, respects prob
+gating, and applies shared distortions to image+label."""
+import numpy as np
+import pytest
+
+from unet3d_tpu.data.transforms import TRANSFORM_REGISTRY, build_transform
+
+
+def _sample():
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 12, 12, 12).astype(np.float32)
+    lbl = (rng.rand(1, 12, 12, 12) > 0.5).astype(np.float32)
+    return img, lbl
+
+
+SPECS = [
+    {"name": "RandFlipD", "prob": 1.0, "spatial_axis": 0},
+    {"name": "RandRotate90D", "prob": 1.0},
+    {"name": "RandRotateD", "prob": 1.0, "range_x": 0.3},
+    {"name": "RandZoomD", "prob": 1.0, "min_zoom": 0.8, "max_zoom": 0.9},
+    {"name": "RandAffineD", "prob": 1.0, "rotate_range": 0.2, "scale_range": 0.1,
+     "translate_range": 0.05},
+    {"name": "RandScaleIntensityD", "prob": 1.0, "factors": 0.2},
+    {"name": "RandShiftIntensityD", "prob": 1.0, "offsets": 0.2},
+    {"name": "RandGaussianNoiseD", "prob": 1.0, "std": 0.05},
+    {"name": "RandGaussianSmoothD", "prob": 1.0},
+    {"name": "RandAdjustContrastD", "prob": 1.0, "gamma": (1.5, 2.0)},
+]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s["name"] for s in SPECS])
+def test_transform_applies(spec):
+    img, lbl = _sample()
+    t = build_transform(spec)
+    out_img, out_lbl = t(np.random.RandomState(1), img, lbl)
+    assert np.asarray(out_img).shape == img.shape
+    assert not np.allclose(np.asarray(out_img), img)  # prob=1 must change image
+    if t.spatial:
+        assert not np.array_equal(np.asarray(out_lbl), lbl) or spec["name"] == "RandZoomD"
+    else:
+        np.testing.assert_array_equal(np.asarray(out_lbl), lbl)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s["name"] for s in SPECS])
+def test_prob_zero_is_identity(spec):
+    img, lbl = _sample()
+    t = build_transform({**spec, "prob": 0.0})
+    out_img, out_lbl = t(np.random.RandomState(1), img, lbl)
+    np.testing.assert_array_equal(np.asarray(out_img), img)
+
+
+def test_flip_applies_same_to_label():
+    img, lbl = _sample()
+    t = build_transform({"name": "RandFlipD", "prob": 1.0, "spatial_axis": 1})
+    oi, ol = t(np.random.RandomState(0), img, lbl)
+    np.testing.assert_array_equal(np.asarray(oi), img[:, :, ::-1])
+    np.testing.assert_array_equal(np.asarray(ol), lbl[:, :, ::-1])
+
+
+def test_lowercase_monai_spelling():
+    assert "RandFlipd" in TRANSFORM_REGISTRY
+    t = build_transform({"name": "RandFlipd", "prob": 1.0, "spatial_axis": 0})
+    img, lbl = _sample()
+    oi, _ = t(np.random.RandomState(0), img, lbl)
+    np.testing.assert_array_equal(np.asarray(oi), img[:, ::-1])
+
+
+def test_unknown_transform_raises():
+    with pytest.raises(ValueError, match="not supported"):
+        build_transform({"name": "RandNoSuchD"})
+
+
+def test_rotate_deterministic_given_rng():
+    img, lbl = _sample()
+    t = build_transform({"name": "RandRotateD", "prob": 1.0, "range_x": 0.3})
+    a, _ = t(np.random.RandomState(7), img, lbl)
+    b, _ = t(np.random.RandomState(7), img, lbl)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
