@@ -83,3 +83,23 @@ def test_sp_matches_single_device():
     s2, loss2 = sharded(state, shard_batch(jnp.asarray(images), mesh),
                         shard_batch(jnp.asarray(labels), mesh))
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_sharded_forward_matches_single_device():
+    # whole-volume inference with the depth axis sharded over 'space'
+    from unet3d_tpu.parallel.mesh import make_sharded_forward, ndhwc_batch_spec
+    from jax.sharding import NamedSharding
+    import jax.numpy as jnp
+
+    model = create_model("UNet3D", base_width=2, encoder_blocks=[1, 1], n_outputs=2)
+    variables = init_params(model, (16, 16, 16, 1))
+    state = create_train_state(variables, build_optimizer("Adam"))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    ref = model.apply({"params": state.params}, x, False)
+
+    mesh = make_mesh({"data": 1, "space": 8})
+    fwd = make_sharded_forward(model, mesh)
+    state_r = replicate_state(state, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, ndhwc_batch_spec(mesh)))
+    out = fwd(state_r, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -84,3 +84,31 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
                    in_shardings=(replicated, data_sharded, data_sharded),
                    out_shardings=(replicated, replicated),
                    donate_argnums=(0,))
+
+
+def ndhwc_batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec for an on-device (B, D, H, W, C) batch on this mesh."""
+    data = "data" if "data" in mesh.axis_names else None
+    space = "space" if "space" in mesh.axis_names else None
+    return P(data, space, None, None, None)
+
+
+def make_sharded_forward(model, mesh: Mesh) -> Callable:
+    """Jitted inference forward with the volume depth sharded over ``space``.
+
+    The volumetric analog of context-parallel inference: a whole case larger
+    than one chip's HBM spreads its D axis across the mesh; XLA SPMD inserts
+    the conv halo exchanges. ``fn(state, x_ndhwc) -> y_ndhwc``.
+    """
+    replicated = NamedSharding(mesh, P())
+    x_sharded = NamedSharding(mesh, ndhwc_batch_spec(mesh))
+
+    def forward(state: TrainState, x):
+        variables = {"params": state.params, **state.extra_variables}
+        out = model.apply(variables, x, False)
+        if isinstance(out, tuple):
+            out = out[0]
+        return out
+
+    return jax.jit(forward, in_shardings=(replicated, x_sharded),
+                   out_shardings=x_sharded)
