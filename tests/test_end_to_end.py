@@ -184,3 +184,46 @@ def test_save_optimizer_resume(workspace):
     main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
     log = open(os.path.join(work_dir, "training_log.csv")).read().strip().splitlines()
     assert len(log) == 4
+
+
+def test_label_hierarchy_training(workspace):
+    # BraTS-style: setup_label_hierarchy expands [2,1,4] -> [[2,1,4],[1,4],[4]]
+    # (3 one-hot channels) and the model trains against them
+    import json
+    import numpy as np
+    from unet3d_tpu.data import nifti as _nifti
+    from unet3d_tpu.scripts.train import main
+    root = workspace["root"]
+    rng = np.random.RandomState(1)
+    fns = []
+    for i in range(2):
+        img = rng.rand(12, 12, 12).astype(np.float32)
+        seg = np.zeros((12, 12, 12), np.int16)
+        seg[2:10, 2:10, 2:10] = 2   # whole tumor
+        seg[4:8, 4:8, 4:8] = 1      # tumor core
+        seg[5:7, 5:7, 5:7] = 4      # enhancing
+        ifn = str(root / f"h_img{i}.nii.gz")
+        sfn = str(root / f"h_seg{i}.nii.gz")
+        _nifti.save(ifn, img, np.eye(4))
+        _nifti.save(sfn, seg, np.eye(4))
+        fns.append({"image": ifn, "label": sfn})
+    config = json.load(open(workspace["config_fn"]))
+    config["model"] = dict(config["model"], n_outputs=3)
+    config["dataset"] = dict(config["dataset"], labels=[2, 1, 4],
+                             setup_label_hierarchy=True)
+    config["training"] = dict(config["training"], n_epochs=1)
+    config["training_filenames"] = fns
+    config["validation_filenames"] = fns
+    config.pop("test_filenames", None)
+    cfg_fn = str(root / "hier_config.json")
+    json.dump(config, open(cfg_fn, "w"))
+    out = str(root / "hier_out")
+    main(["--config_filename", cfg_fn, "--output_dir", out, "--n_examples", "0"])
+    log = open(os.path.join(out, "hier_config", "training_log.csv")).read()
+    assert "epoch,loss,lr,val_loss" in log
+    # the hierarchy flag must have been consumed (not passed to the dataset)
+    import numpy as _np
+    from unet3d_tpu.train.checkpoint import load_checkpoint
+    ck = load_checkpoint(os.path.join(out, "hier_config", "model.npz"))
+    final_kernel = ck["params"]["final_convolution"]["kernel"]
+    assert final_kernel.shape[-1] == 3  # one output channel per hierarchy level
