@@ -106,3 +106,34 @@ def test_resample_to_spacing_intensity_preserved():
     assert out.shape == (1, 4, 4, 4)
     np.testing.assert_allclose(affine_ops.get_spacing_from_affine(new_affine), [2, 2, 2])
     np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+def test_resize_ndhwc_matches_torch():
+    # decoder upsampling path (ops/interpolate) vs torch interpolate
+    from unet3d_tpu.ops.interpolate import resize_ndhwc, upsample_ndhwc
+    x = rand_volume((1, 6, 7, 8), seed=9)  # (C, D, H, W)
+    x_ndhwc = np.moveaxis(x, 0, -1)[None]
+    out = np.asarray(resize_ndhwc(jnp_asarray(x_ndhwc), (12, 14, 16),
+                                  mode="trilinear", align_corners=False))
+    ref = F.interpolate(torch.from_numpy(x)[None], size=(12, 14, 16),
+                        mode="trilinear", align_corners=False)[0].numpy()
+    np.testing.assert_allclose(np.moveaxis(out[0], -1, 0), ref, atol=2e-5)
+    up = np.asarray(upsample_ndhwc(jnp_asarray(x_ndhwc), scale=2))
+    ref2 = F.interpolate(torch.from_numpy(x)[None], scale_factor=2,
+                         mode="trilinear", align_corners=False)[0].numpy()
+    np.testing.assert_allclose(np.moveaxis(up[0], -1, 0), ref2, atol=2e-5)
+
+
+def test_resize_ndhwc_nearest_matches_torch():
+    from unet3d_tpu.ops.interpolate import resize_ndhwc
+    x = rand_volume((2, 5, 6, 7), seed=10)
+    x_ndhwc = np.moveaxis(x, 0, -1)[None]
+    out = np.asarray(resize_ndhwc(jnp_asarray(x_ndhwc), (9, 4, 13), mode="nearest"))
+    ref = F.interpolate(torch.from_numpy(x)[None], size=(9, 4, 13),
+                        mode="nearest")[0].numpy()
+    np.testing.assert_array_equal(np.moveaxis(out[0], -1, 0), ref)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
