@@ -40,24 +40,19 @@ def conv3d_decomp2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     Output voxel o[d] = sum_dz conv2d(x[d + dz - r], w[dz]); folding D into the
     batch turns each tap into one large 2D conv, then the partial sums are
-    combined with D-shifts. Shifting the *input* per tap (rather than the
-    output) keeps every 2D conv reading a contiguous slab.
+    combined with D-shifts. The depth axis is padded ONCE and each tap's slab is
+    a slice of the padded buffer — per-tap shifted pads cost an extra
+    materialized copy each (profiled: copies, not conv FLOPs, dominate).
     """
     n, d, h, wd, c = x.shape
     kd = w.shape[0]
     r = kd // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(kd):
-        shift = dz - r  # input plane offset contributing to output plane d
-        if shift < 0:
-            slab = jnp.pad(x[:, :shift], ((0, 0), (-shift, 0), (0, 0), (0, 0), (0, 0)))
-        elif shift > 0:
-            slab = jnp.pad(x[:, shift:], ((0, 0), (0, shift), (0, 0), (0, 0), (0, 0)))
-        else:
-            slab = x
-        slab2 = slab.reshape(n * d, h, wd, c)
+        slab = jax.lax.slice_in_dim(xp, dz, dz + d, axis=1).reshape(n * d, h, wd, c)
         y2 = jax.lax.conv_general_dilated(
-            slab2, w[dz], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            slab, w[dz], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype)
         y = y2.reshape(n, d, h, wd, -1)
         out = y if out is None else out + y
