@@ -133,3 +133,47 @@ def test_vae_loss_extras_routing():
     out = compute_criterion(VAELoss(beta=1.0), (pred, mu, logvar), target)
     # recon 0 + KL of (mu=1, logvar=0): -0.5*mean(1 + 0 - 1 - 1) = 0.5
     np.testing.assert_allclose(float(out), 0.5, rtol=1e-6)
+
+
+def test_generalized_dice_empty_class_uses_max_finite_weight():
+    # An all-background (empty) class gets w=inf from 1/ground^2; MONAI
+    # replaces inf with the max finite weight so absent classes do not
+    # dominate (ADVICE r1). With the old 1e-8 clamp the empty class carried
+    # w~1e16 and GDL saturated toward 1 regardless of the other channels.
+    rng = np.random.RandomState(3)
+    target = (rng.rand(1, 4, 4, 4, 3) > 0.5).astype(np.float32)
+    target[..., 2] = 0.0  # empty class
+    pred = target.copy()
+    loss = float(GeneralizedDiceLoss()(jnp.asarray(pred), jnp.asarray(target)))
+    # perfect prediction on present classes, empty class contributes
+    # w*0 to both numerator terms -> near-zero loss
+    assert loss < 1e-3
+
+    # and the manual MONAI weighting must match: w_i = 1/ground_i^2 with
+    # inf -> max finite
+    pred2 = rng.rand(1, 4, 4, 4, 3).astype(np.float32)
+    loss2 = float(GeneralizedDiceLoss()(jnp.asarray(pred2), jnp.asarray(target)))
+    ground = target.reshape(1, -1, 3).sum(1)
+    w = 1.0 / (ground * ground)
+    finite_max = w[np.isfinite(w)].max()
+    w = np.where(np.isinf(w), finite_max, w)
+    inter = (target * pred2).reshape(1, -1, 3).sum(1)
+    psum = pred2.reshape(1, -1, 3).sum(1)
+    expected = 1 - (2 * (inter * w).sum(-1) + 1e-5) / (
+        ((ground + psum) * w).sum(-1) + 1e-5)
+    np.testing.assert_allclose(loss2, expected.mean(), rtol=1e-4)
+
+
+def test_focal_softmax_alpha_background_weighting():
+    # MONAI softmax FocalLoss weights channel 0 by (1-alpha) and the rest by
+    # alpha (ADVICE r1: a uniform alpha is wrong).
+    pred, target = _pair(shape=(1, 4, 4, 4, 3))
+    alpha = 0.25
+    out = float(FocalLoss(alpha=alpha, gamma=2.0, use_softmax=True)(pred, target))
+    p = np.asarray(jnp.exp(jnp.asarray(pred) - jnp.max(pred, -1, keepdims=True)))
+    p = p / p.sum(-1, keepdims=True)
+    logp = np.log(p)
+    t = np.asarray(target)
+    base = -t * ((1 - p) ** 2.0) * logp
+    alpha_fac = np.asarray([1 - alpha, alpha, alpha], np.float32)
+    np.testing.assert_allclose(out, (alpha_fac * base).mean(), rtol=1e-4)

@@ -89,3 +89,49 @@ def test_resnet_with_decoder1d():
     v = init_params(m, (16, 16, 16, 1))
     y = m.apply(v, jnp.zeros((1, 16, 16, 16, 1)))
     assert y.shape == (1, 4096, 1)
+
+
+def test_segresnet_builds_and_forward_shapes():
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.models.registry import create_model, init_params
+    model = create_model("SegResNet", in_channels=2, out_channels=3,
+                         init_filters=4, blocks_down=[1, 1, 1],
+                         blocks_up=[1, 1])
+    variables = init_params(model, (16, 16, 16, 2))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 2),
+                    jnp.float32)
+    y = model.apply(variables, x, False)
+    assert y.shape == (1, 16, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_segresnet_trains_one_step():
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.train.losses import DiceLoss
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.train.step import create_train_state, make_train_step
+    model = create_model("SegResNet", in_channels=1, out_channels=2,
+                         init_filters=4, blocks_down=[1, 1], blocks_up=[1],
+                         dropout_prob=0.2)
+    variables = init_params(model, (8, 8, 8, 1))
+    tx = build_optimizer("Adam", lr=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, DiceLoss(softmax=True), tx, amp=True)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 1, 8, 8, 8), jnp.float32)
+    labels = jnp.asarray((rng.rand(1, 2, 8, 8, 8) > 0.5).astype(np.float32))
+    new_state, loss = step(state, images, labels)
+    assert np.isfinite(float(loss))
+    assert int(new_state.step) == 1
+
+
+def test_unsupported_monai_name_error_is_actionable():
+    import pytest
+    from unet3d_tpu.models.registry import fetch_model_by_name
+    with pytest.raises(ValueError, match="UNETR.*MONAI"):
+        fetch_model_by_name("UNETR")
+    with pytest.raises(ValueError, match="supported names:.*SegResNet"):
+        fetch_model_by_name("NoSuchNet")

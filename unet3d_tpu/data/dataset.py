@@ -191,8 +191,26 @@ class SegmentationDatasetPersistent(SegmentationDataset):
         self.cache_dir = cache_dir
         os.makedirs(cache_dir, exist_ok=True)
 
+    @staticmethod
+    def _file_signatures(item: Dict[str, Any]):
+        """(path, size, mtime_ns) for every input file, so regenerating a
+        source NIfTI in place invalidates its cache entry."""
+        sigs = []
+        stack = [item]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, dict):
+                stack.extend(node.values())
+            elif isinstance(node, (list, tuple)):
+                stack.extend(node)
+            elif isinstance(node, str) and os.path.exists(node):
+                st = os.stat(node)
+                sigs.append((node, st.st_size, st.st_mtime_ns))
+        return sorted(sigs)
+
     def _cache_key(self, item: Dict[str, Any]) -> str:
-        spec = {"item": item, "labels": self.labels,
+        spec = {"item": item, "files": self._file_signatures(item),
+                "labels": self.labels,
                 "desired_shape": self.desired_shape, "crop": self.crop_foreground,
                 "fg_pct": self.foreground_percentile, "random_crop": self.random_crop,
                 "resample": self.resample, "orientation": self.orientation,

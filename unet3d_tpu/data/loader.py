@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Sequence
 
@@ -88,25 +89,51 @@ class DataLoader:
             for idxs in batches:
                 yield _stack_batch([self.dataset[int(i)] for i in idxs])
             return
-        # Threaded pipeline: samples are produced by a pool, batches assembled in
-        # order, with a bounded queue providing prefetch.
+        # Threaded pipeline: samples are produced by a pool, batches assembled
+        # in order. Submission is lazy — at most num_workers + prefetch_factor
+        # batches are in flight at once, so a slow consumer bounds host memory
+        # to that window instead of accumulating the whole epoch in futures.
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()
+        max_inflight = self.num_workers + self.prefetch_factor
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = [pool.submit(lambda ii=idxs: _stack_batch(
-                    [self.dataset[int(i)] for i in ii])) for idxs in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        fut.cancel()
-                        continue
+            batch_iter = iter(batches)
+            pending: "deque" = deque()
+
+            def put(item) -> bool:
+                # Interruptible put: a consumer that stops iterating sets
+                # ``stop`` and this returns False instead of blocking forever.
+                while not stop.is_set():
                     try:
-                        out_q.put(("ok", fut.result()))
-                    except Exception as error:  # propagate to the consumer
-                        out_q.put(("error", error))
+                        out_q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        pass
+                return False
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                while not stop.is_set():
+                    while len(pending) < max_inflight:
+                        idxs = next(batch_iter, None)
+                        if idxs is None:
+                            break
+                        pending.append(pool.submit(lambda ii=idxs: _stack_batch(
+                            [self.dataset[int(i)] for i in ii])))
+                    if not pending:
+                        put(("done", None))
                         return
-            out_q.put(("done", None))
+                    fut = pending.popleft()
+                    try:
+                        item = ("ok", fut.result())
+                    except Exception as error:  # propagate to the consumer
+                        put(("error", error))
+                        return
+                    if not put(item):
+                        break
+                # Early stop: drop queued work (running tasks finish on their own).
+                for fut in pending:
+                    fut.cancel()
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -120,6 +147,12 @@ class DataLoader:
                 yield payload
         finally:
             stop.set()
+            try:  # unblock a producer parked in put()
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10)
 
 
 def build_loader(dataset, batch_size: int = 1, shuffle: bool = False,

@@ -8,9 +8,10 @@ reference's fallback rule (groups -> channels when not divisible).
 
 Padding parity note: torch Conv3d(kernel=k odd, padding=k//2) produces the same
 output sizes as XLA "SAME" padding for strides 1 and 2, so blocks use SAME.
-torch ConvTranspose3d(kernel=3, stride=2, padding=1) -> out = 2*in - 1 which maps
-to lax.conv_transpose padding ((1,1),)*3; kernel=2, stride=2 -> out = 2*in maps to
-((0,0),)*3.
+torch ConvTranspose3d(kernel=k, stride=s, padding=p) maps to lax.conv_transpose
+padding ((k-1-p, k-1-p),)*3: kernel=3, stride=2, padding=1 -> out = 2*in - 1 via
+((1,1),)*3; kernel=2, stride=2, padding=0 -> out = 2*in also via ((1,1),)*3
+(asserted against torch in tests/test_models.py).
 """
 from __future__ import annotations
 

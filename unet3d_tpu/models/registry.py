@@ -18,6 +18,7 @@ from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
 from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.fcn import FCN
 from unet3d_tpu.models.graph import GraphCMR
+from unet3d_tpu.models.segresnet import SegResNet
 from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
 from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
                                            LabeledVariationalAutoEncoder,
@@ -29,6 +30,7 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "AutocastUNet": AutocastUNet,
     "AutoImplantUNet": AutoImplantUNet,
     "DynUNet": DynUNet,
+    "SegResNet": SegResNet,
     "ConvolutionalAutoEncoder": ConvolutionalAutoEncoder,
     "VariationalAutoEncoder": VariationalAutoEncoder,
     "LabeledVariationalAutoEncoder": LabeledVariationalAutoEncoder,
@@ -59,13 +61,27 @@ def _freeze_lists(value):
     return value
 
 
+# MONAI names the reference's star-import would resolve but that have no
+# native implementation here yet; listed so the error is actionable.
+_KNOWN_MONAI_UNIMPLEMENTED = (
+    "UNETR", "SwinUNETR", "SegResNetVAE", "AttentionUnet", "VNet", "UNet",
+    "BasicUNet", "HighResNet", "AHNet", "RegUNet",
+)
+
+
 def fetch_model_by_name(model_name: str):
     """Parity: `unet3d/models/build.py:9-13` including the error contract."""
     if model_name in MODEL_REGISTRY:
         return MODEL_REGISTRY[model_name]
     if model_name in _FACTORIES:
         return _FACTORIES[model_name]
-    raise ValueError(f"model name {model_name} not supported")
+    supported = sorted(list(MODEL_REGISTRY) + list(_FACTORIES))
+    hint = ""
+    if model_name in _KNOWN_MONAI_UNIMPLEMENTED:
+        hint = (f" ({model_name} is a MONAI net the reference resolves via its "
+                f"star-import but has no native TPU implementation here yet)")
+    raise ValueError(f"model name {model_name} not supported{hint}; "
+                     f"supported names: {', '.join(supported)}")
 
 
 def create_model(model_name: str, **kwargs):

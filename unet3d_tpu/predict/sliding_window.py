@@ -128,18 +128,25 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
         importance = jnp.ones(roi_size, dtype=jnp.float32)
     imp = importance[None, :, :, :, None]
 
-    # probe the network output channel count with one window
-    def run_window(x, start):
-        patch = jax.lax.dynamic_slice(
-            x, (0, start[0], start[1], start[2], 0),
+    def gather_window(start):
+        return jax.lax.dynamic_slice(
+            inputs, (0, start[0], start[1], start[2], 0),
             (batch,) + roi_size + (channels,))
-        return network(patch)
+
+    sw = int(starts_groups.shape[1])
 
     def scan_body(carry, group_starts):
         out_sum, weight_sum = carry
-        def per_start(c, start):
+        # Stack sw_batch_size windows into ONE network call (MONAI semantics:
+        # better MXU utilization for small ROIs than one window at a time).
+        patches = jax.vmap(gather_window)(group_starts)  # (sw, B, *roi, C)
+        stacked = patches.reshape((sw * batch,) + roi_size + (channels,))
+        outs = network(stacked).astype(jnp.float32)
+        outs = outs.reshape((sw, batch) + roi_size + (outs.shape[-1],)) * imp
+
+        def scatter_add(c, start_out):
             o_sum, w_sum = c
-            out = run_window(inputs, start).astype(jnp.float32) * imp
+            start, out = start_out
             o_sum = jax.lax.dynamic_update_slice(
                 o_sum, jax.lax.dynamic_slice(
                     o_sum, (0, start[0], start[1], start[2], 0), out.shape) + out,
@@ -149,12 +156,18 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
                     w_sum, (0, start[0], start[1], start[2], 0), imp.shape) + imp,
                 (0, start[0], start[1], start[2], 0))
             return (o_sum, w_sum), None
-        (out_sum, weight_sum), _ = jax.lax.scan(per_start, (out_sum, weight_sum),
-                                                group_starts)
+
+        # note: grid padding repeats the last window; it adds equally to both
+        # out_sum and weight_sum, so the blended output is unchanged.
+        (out_sum, weight_sum), _ = jax.lax.scan(scatter_add,
+                                                (out_sum, weight_sum),
+                                                (group_starts, outs))
         return (out_sum, weight_sum), None
 
     out_channels = jax.eval_shape(
-        lambda x: run_window(x, jnp.zeros(3, jnp.int32)), inputs).shape[-1]
+        lambda x: network(jax.lax.dynamic_slice(
+            x, (0, 0, 0, 0, 0), (batch,) + roi_size + (channels,))),
+        inputs).shape[-1]
     out_sum = jnp.zeros((batch,) + tuple(padded_spatial) + (out_channels,), jnp.float32)
     weight_sum = jnp.zeros((1,) + tuple(padded_spatial) + (1,), jnp.float32)
     (out_sum, weight_sum), _ = jax.lax.scan(scan_body, (out_sum, weight_sum),

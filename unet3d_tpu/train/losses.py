@@ -101,11 +101,13 @@ class GeneralizedDiceLoss:
         ground = jnp.sum(target, axis=axes)
         prediction = jnp.sum(pred, axis=axes)
         if self.w_type == "simple":
-            w = 1.0 / jnp.maximum(ground, 1e-8)
+            w = jnp.reciprocal(ground)
         elif self.w_type == "uniform":
             w = jnp.ones_like(ground)
         else:  # square
-            w = 1.0 / jnp.maximum(ground * ground, 1e-8)
+            w = jnp.reciprocal(ground * ground)
+        # Empty classes get w=inf; MONAI replaces inf with the max finite
+        # weight so absent classes don't dominate the loss.
         w = jnp.where(jnp.isinf(w), jnp.max(jnp.where(jnp.isinf(w), 0.0, w)), w)
         class_axis = -1  # remaining axis after reduction is channels (maybe + batch)
         numer = 2.0 * jnp.sum(intersection * w, axis=class_axis) + self.smooth_nr
@@ -137,7 +139,14 @@ class FocalLoss:
         if self.use_softmax:
             logp = jax.nn.log_softmax(pred, axis=-1)
             p = jnp.exp(logp)
-            loss = -self.alpha_weight() * target * ((1 - p) ** self.gamma) * logp
+            loss = -target * ((1 - p) ** self.gamma) * logp
+            if self.alpha is not None:
+                # MONAI weights the first (background) channel by 1-alpha and
+                # the rest by alpha (monai FocalLoss softmax_focal_loss).
+                n = pred.shape[-1]
+                alpha_fac = jnp.asarray([1 - self.alpha] + [self.alpha] * (n - 1),
+                                        dtype=pred.dtype)
+                loss = alpha_fac * loss
         else:
             # BCE-with-logits focal: p = sigmoid(x)
             p = jax.nn.sigmoid(pred)
@@ -153,9 +162,6 @@ class FocalLoss:
         if self.reduction == "sum":
             return jnp.sum(loss)
         return jnp.mean(loss)
-
-    def alpha_weight(self):
-        return 1.0 if self.alpha is None else self.alpha
 
 
 class DiceCELoss:
