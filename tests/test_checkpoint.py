@@ -56,3 +56,47 @@ def test_strict_load_rejects_mismatch(tmp_path):
                               "b": np.zeros(2, np.float32)}}, fn, strict=True)
     with pytest.raises(ValueError, match="shape mismatch"):
         load_into({"params": {"a": np.zeros(4, np.float32)}}, fn, strict=True)
+
+
+def test_opt_state_roundtrip_keyed(tmp_path):
+    import optax
+    from unet3d_tpu.train.checkpoint import load_opt_state, save_opt_state
+    params = {"w": np.ones((3, 2), np.float32), "b": np.zeros((2,), np.float32)}
+    tx = optax.adam(1e-3)
+    state = tx.init(params)
+    grads = {"w": np.full((3, 2), 0.5, np.float32),
+             "b": np.full((2,), 0.25, np.float32)}
+    _, state = tx.update(grads, state, params)
+    path = str(tmp_path / "opt.npz")
+    save_opt_state(state, path)
+    template = tx.init(params)
+    restored = load_opt_state(template, path)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_opt_state_mismatch_raises(tmp_path):
+    import optax
+    import pytest
+    from unet3d_tpu.train.checkpoint import (OptStateMismatchError,
+                                             load_opt_state, save_opt_state)
+    tx = optax.adam(1e-3)
+    params = {"w": np.ones((3, 2), np.float32)}
+    path = str(tmp_path / "opt.npz")
+    save_opt_state(tx.init(params), path)
+    # changed model shape -> loud failure, not a silent fresh template
+    other = tx.init({"w": np.ones((4, 2), np.float32)})
+    with pytest.raises(OptStateMismatchError, match="shape"):
+        load_opt_state(other, path)
+    # corrupt file -> loud failure
+    bad = str(tmp_path / "bad.npz")
+    with open(bad, "wb") as f:
+        f.write(b"not-an-npz")
+    with pytest.raises(OptStateMismatchError, match="Cannot read"):
+        load_opt_state(tx.init(params), bad)
+    # structurally different optimizer -> loud failure
+    sgd_state = optax.sgd(1e-3, momentum=0.9).init(params)
+    with pytest.raises(OptStateMismatchError):
+        load_opt_state(sgd_state, path)

@@ -227,3 +227,37 @@ def test_label_hierarchy_training(workspace):
     ck = load_checkpoint(os.path.join(out, "hier_config", "model.npz"))
     final_kernel = ck["params"]["final_convolution"]["kernel"]
     assert final_kernel.shape[-1] == 3  # one output channel per hierarchy level
+
+
+def test_train_and_predict_cli_multidevice(workspace):
+    """n_gpus>1: sharded train + sharded eval + mesh predictions (CPU mesh)."""
+    import sys
+    from unet3d_tpu.scripts import predict as predict_cli
+    from unet3d_tpu.scripts.train import main
+    # own config copy: other tests rewrite the shared config.json in place
+    config = json.load(open(workspace["config_fn"]))
+    config["training"] = dict(config["training"], n_epochs=2)
+    config_fn = str(workspace["root"] / "config_md.json")
+    json.dump(config, open(config_fn, "w"))
+    out = str(workspace["root"] / "out_md")
+    main(["--config_filename", config_fn, "--output_dir", out,
+          "--n_examples", "0", "--ngpus", "2"])
+    work_dir = os.path.join(out, "config_md")
+    assert os.path.exists(os.path.join(work_dir, "model.npz"))
+    log = open(os.path.join(work_dir, "training_log.csv")).read().strip().splitlines()
+    assert len(log) == 3  # header + 2 epochs
+    # post-training inference groups ran through the space mesh
+    pred_dir = os.path.join(work_dir, "test")
+    assert os.path.isdir(pred_dir) and os.listdir(pred_dir)
+
+    out_dir = os.path.join(work_dir, "md_predict")
+    argv = ["predict", "--config_filename", config_fn,
+            "--model_filename", os.path.join(work_dir, "model.npz"),
+            "--output_directory", out_dir, "--group", "test", "--ngpus", "2"]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        predict_cli.main()
+    finally:
+        sys.argv = old
+    assert os.listdir(os.path.join(out_dir, "predictions"))

