@@ -135,15 +135,14 @@ def group_up():
 
     def xla_transpose(x, w):
         return jax.lax.conv_transpose(
-            x, w, (2, 2, 2), ((1, 1), (1, 1), (1, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            transpose_kernel=True)
+            x, jnp.flip(w, (0, 1, 2)), (2, 2, 2), ((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
     def lhs_dilated(x, w):
-        # conv_transpose == conv with lhs_dilation, kernel reversed
-        wf = jnp.flip(w, (0, 1, 2))
+        # conv with lhs_dilation; subpixel's flip convention means the raw
+        # kernel here matches its output
         return jax.lax.conv_general_dilated(
-            x, wf, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+            x, w, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
             lhs_dilation=(2, 2, 2),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=x.dtype)

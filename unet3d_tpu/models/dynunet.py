@@ -16,7 +16,8 @@ from typing import Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from unet3d_tpu.models.layers import FastConv, _triple, transposed_conv
+from unet3d_tpu.models.layers import (FastConv, PointwiseConv, _triple,
+                                      transposed_conv)
 from unet3d_tpu.ops.interpolate import resize_ndhwc
 
 IntsOrSeq = Union[int, Sequence[int]]
@@ -65,8 +66,13 @@ class UnetResBlock(nn.Module):
                      strides=(1, 1, 1), use_bias=False, name="conv2")(y)
         y = _instance_norm(self.out_channels, "norm2")(y)
         if x.shape[-1] != self.out_channels or any(s != 1 for s in _triple(self.stride)):
-            identity = nn.Conv(self.out_channels, (1, 1, 1), strides=_triple(self.stride),
-                               padding="VALID", use_bias=False, name="conv3")(identity)
+            if _triple(self.stride) == (1, 1, 1):
+                identity = PointwiseConv(self.out_channels, use_bias=False,
+                                         name="conv3")(identity)
+            else:
+                identity = nn.Conv(self.out_channels, (1, 1, 1),
+                                   strides=_triple(self.stride), padding="VALID",
+                                   use_bias=False, name="conv3")(identity)
             identity = _instance_norm(self.out_channels, "norm3")(identity)
         return _lrelu(y + identity)
 
@@ -132,11 +138,10 @@ class DynUNet(nn.Module):
                             self.upsample_kernel_size[i],
                             name=f"upsample{n - 2 - i}")(x, skips[i])
             if self.deep_supervision and 0 < i <= self.deep_supr_num:
-                heads.append(nn.Conv(self.out_channels, (1, 1, 1), padding="VALID",
-                                     name=f"deep_supervision_head{i}")(x))
+                heads.append(PointwiseConv(self.out_channels,
+                                           name=f"deep_supervision_head{i}")(x))
 
-        out = nn.Conv(self.out_channels, (1, 1, 1), padding="VALID",
-                      name="output_block")(x)
+        out = PointwiseConv(self.out_channels, name="output_block")(x)
         if self.deep_supervision and train:
             full = out.shape[1:4]
             ups = [resize_ndhwc(h, full, mode="nearest") for h in reversed(heads)]

@@ -35,7 +35,12 @@ class FastConv(nn.Module):
     """Drop-in nn.Conv replacement routing through the strategy-dispatching
     3D conv (`ops/conv3d.py`): stride-1 odd kernels use the 2D-decomposition
     formulation that tiles better on the MXU. Parameter names/shapes match
-    nn.Conv ('kernel' DHWIO + 'bias'), so checkpoints are interchangeable."""
+    nn.Conv ('kernel' DHWIO + 'bias'), so checkpoints are interchangeable.
+
+    ``padding="SAME"`` is lowered to explicit symmetric k//2 pads: XLA SAME
+    distributes strided padding (lo=0, hi=1 for k=3 s=2 on even sizes), which
+    diverges from torch Conv3d(padding=k//2) at the low edge — caught by the
+    torch weight-transplant parity test (tests/test_parity_dynunet.py)."""
     features: int
     kernel_size: Tuple[int, int, int]
     strides: Tuple[int, int, int] = (1, 1, 1)
@@ -48,7 +53,10 @@ class FastConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(in_axis=(0, 1, 2, 3),
                                                    out_axis=4),
             self.kernel_size + (x.shape[-1], self.features))
-        y = conv3d(x, kernel.astype(x.dtype), self.strides, self.padding)
+        padding = self.padding
+        if padding == "SAME":
+            padding = tuple((k // 2, k // 2) for k in self.kernel_size)
+        y = conv3d(x, kernel.astype(x.dtype), self.strides, padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
@@ -63,9 +71,38 @@ def conv3(features: int, kernel_size: Ints3 = 3, stride: Ints3 = 1,
                     name=name)
 
 
+class PointwiseConv(nn.Module):
+    """1-cubed convolution computed as a channel einsum (one MXU matmul).
+
+    XLA's TPU conv emitter handles tiny channel counts poorly: the BraTS
+    output head (64->3 @128^3) profiled at 6.8 ms fwd / 12.6 ms fwd+bwd as a
+    conv vs 3.1 / 3.9 ms as an einsum (tools/microbench_r2.py). Param tree
+    matches nn.Conv (kernel (1,1,1,Cin,Cout) + bias) so checkpoints
+    interchange."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, c, self.features))
+        w = kernel.reshape(c, self.features).astype(x.dtype)
+        y = jnp.einsum("...c,co->...o", x, w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def conv1(features: int, stride: Ints3 = 1, use_bias: bool = True,
-          name: Optional[str] = None) -> nn.Conv:
-    """1-cubed (pointwise) convolution (parity: `resnet.py:20-22` conv1x1x1)."""
+          name: Optional[str] = None) -> nn.Module:
+    """1-cubed (pointwise) convolution (parity: `resnet.py:20-22` conv1x1x1).
+
+    Stride 1 routes through the einsum formulation; strided projections keep
+    the conv lowering (the stride makes them gather-bound either way)."""
+    if _triple(stride) == (1, 1, 1):
+        return PointwiseConv(features=features, use_bias=use_bias, name=name)
     return nn.Conv(features=features, kernel_size=(1, 1, 1), strides=_triple(stride),
                    padding="VALID", use_bias=use_bias, name=name)
 

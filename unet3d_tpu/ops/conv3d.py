@@ -69,6 +69,12 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
     numerically exact but currently DMA-overhead-bound below decomp2d.
     """
     stride = tuple(int(s) for s in stride)
+    # explicit symmetric k//2 pads on an odd kernel are exactly SAME at
+    # stride 1 (FastConv lowers "SAME" to them for torch parity)
+    same_padding = padding == "SAME" or (
+        not isinstance(padding, str)
+        and tuple(tuple(p) for p in padding)
+        == tuple((k // 2, k // 2) for k in w.shape[:3]))
     if _ENV_STRATEGY == "xla":
         return conv3d_xla(x, w, stride, padding)
     if _ENV_STRATEGY == "pallas":
@@ -76,7 +82,7 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
                                                          pallas_conv3d_available)
         if pallas_conv3d_available(x.shape, w.shape, stride, padding):
             return pallas_conv3d(x, w)
-    eligible = (stride == (1, 1, 1) and padding == "SAME"
+    eligible = (stride == (1, 1, 1) and same_padding
                 and w.shape[0] % 2 == 1 and w.shape[0] > 1)
     if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas"):
         return conv3d_decomp2d(x, w)
