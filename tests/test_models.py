@@ -127,3 +127,18 @@ def test_subpixel_transposed_conv_matches_flax():
                                np.asarray(ref_mod.apply(v, x)), atol=1e-5)
     # k != s keeps the flax path
     assert isinstance(transposed_conv(6, 3, 2), nn.ConvTranspose)
+
+
+def test_fastconv_tuple_matches_concat():
+    # FastConv can convolve a virtual channel-concat via a kernel split
+    # (kept as an opt-in formulation; measured slower than XLA's fused
+    # concat for the DynUNet decoder on v5e, see models/dynunet.py note)
+    from unet3d_tpu.models.layers import FastConv
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(1, 6, 6, 6, 3), jnp.float32)
+    b = jnp.asarray(rng.rand(1, 6, 6, 6, 5), jnp.float32)
+    mod = FastConv(4, (3, 3, 3), use_bias=True)
+    v = mod.init(jax.random.PRNGKey(0), (a, b))
+    split = mod.apply(v, (a, b))
+    cat = mod.apply(v, jnp.concatenate([a, b], axis=-1))
+    np.testing.assert_allclose(np.asarray(split), np.asarray(cat), atol=2e-5)

@@ -33,13 +33,17 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class UnetBasicBlock(nn.Module):
-    """conv(stride)-IN-lrelu -> conv(1)-IN-lrelu."""
+    """conv(stride)-IN-lrelu -> conv(1)-IN-lrelu.
+
+    ``x`` may be a tuple (upsampled, skip): conv1 then convolves the virtual
+    channel-concat via a kernel split (see FastConv), exactly equivalent to
+    MONAI's cat + conv but without materializing the concat."""
     out_channels: int
     kernel_size: IntsOrSeq = 3
     stride: IntsOrSeq = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> jnp.ndarray:
         x = FastConv(self.out_channels, _triple(self.kernel_size),
                      strides=_triple(self.stride), use_bias=False,
                      name="conv1")(x)
@@ -88,6 +92,10 @@ class UnetUpBlock(nn.Module):
         x = transposed_conv(self.out_channels, self.upsample_kernel_size,
                             self.upsample_kernel_size, use_bias=False,
                             name="transp_conv")(x)
+        # NOTE: convolving the (up, skip) pair via a kernel split instead of
+        # materializing the concat measured SLOWER end-to-end (136 vs 130
+        # ms/step) — XLA fuses the concat into the conv reads and the split
+        # form picks worse emitters. Keep MONAI's cat + conv.
         x = jnp.concatenate([x, skip], axis=-1)
         return UnetBasicBlock(self.out_channels, self.kernel_size, 1,
                               name="conv_block")(x)
