@@ -114,13 +114,18 @@ def epoch_validation(val_loader, eval_step, state: TrainState, print_freq: int =
     progress = ProgressMeter(len(val_loader), [batch_time, losses],
                              prefix="Validation: ")
     end = time.time()
+    pending = None  # lagged sync, same overlap trick as epoch_training
     for i, batch in enumerate(val_loader):
-        loss = float(eval_step(state, batch["image"], batch["label"]))
-        losses.update(loss, batch["image"].shape[0])
+        loss = eval_step(state, batch["image"], batch["label"])
+        if pending is not None:
+            losses.update(float(pending[0]), pending[1])
+        pending = (loss, batch["image"].shape[0])
         batch_time.update(time.time() - end)
         end = time.time()
         if print_freq and i % print_freq == 0:
             progress.display(i)
+    if pending is not None:
+        losses.update(float(pending[0]), pending[1])
     return losses.avg
 
 
