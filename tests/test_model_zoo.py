@@ -131,7 +131,53 @@ def test_segresnet_trains_one_step():
 def test_unsupported_monai_name_error_is_actionable():
     import pytest
     from unet3d_tpu.models.registry import fetch_model_by_name
-    with pytest.raises(ValueError, match="UNETR.*MONAI"):
-        fetch_model_by_name("UNETR")
+    with pytest.raises(ValueError, match="SwinUNETR.*MONAI"):
+        fetch_model_by_name("SwinUNETR")
     with pytest.raises(ValueError, match="supported names:.*SegResNet"):
         fetch_model_by_name("NoSuchNet")
+
+
+def test_unetr_builds_and_forward_shapes():
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.models.registry import create_model, init_params
+    # tiny transformer: MONAI's fixed 16-cubed patch on a 32^3 volume -> 8 tokens
+    model = create_model("UNETR", in_channels=2, out_channels=3, img_size=32,
+                         feature_size=2, hidden_size=16, mlp_dim=32,
+                         num_heads=4, num_layers=4)
+    variables = init_params(model, (32, 32, 32, 2))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 32, 2), jnp.float32)
+    y = model.apply(variables, x, False)
+    assert y.shape == (1, 32, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_unetr_trains_one_step():
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.train.losses import DiceLoss
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.train.step import create_train_state, make_train_step
+    model = create_model("UNETR", in_channels=1, out_channels=2, img_size=16,
+                         feature_size=2, hidden_size=8, mlp_dim=16,
+                         num_heads=2, num_layers=4,
+                         dropout_rate=0.1, res_block=False)
+    variables = init_params(model, (16, 16, 16, 1))
+    tx = build_optimizer("AdamW", lr=1e-4)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, DiceLoss(softmax=True), tx, amp=True)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 1, 16, 16, 16), jnp.float32)
+    labels = jnp.asarray((rng.rand(1, 2, 16, 16, 16) > 0.5).astype(np.float32))
+    new_state, loss = step(state, images, labels)
+    assert np.isfinite(float(loss))
+
+
+def test_unetr_wrong_input_size_raises():
+    import pytest
+    from unet3d_tpu.models.registry import create_model, init_params
+    model = create_model("UNETR", img_size=32, hidden_size=8,
+                         mlp_dim=16, num_heads=2, num_layers=4, feature_size=2)
+    with pytest.raises(ValueError, match="img_size"):
+        init_params(model, (16, 16, 16, 1))

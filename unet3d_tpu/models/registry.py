@@ -19,6 +19,7 @@ from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.fcn import FCN
 from unet3d_tpu.models.graph import GraphCMR
 from unet3d_tpu.models.segresnet import SegResNet
+from unet3d_tpu.models.unetr import UNETR
 from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
 from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
                                            LabeledVariationalAutoEncoder,
@@ -31,6 +32,7 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "AutoImplantUNet": AutoImplantUNet,
     "DynUNet": DynUNet,
     "SegResNet": SegResNet,
+    "UNETR": UNETR,
     "ConvolutionalAutoEncoder": ConvolutionalAutoEncoder,
     "VariationalAutoEncoder": VariationalAutoEncoder,
     "LabeledVariationalAutoEncoder": LabeledVariationalAutoEncoder,
@@ -64,7 +66,7 @@ def _freeze_lists(value):
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
 _KNOWN_MONAI_UNIMPLEMENTED = (
-    "UNETR", "SwinUNETR", "SegResNetVAE", "AttentionUnet", "VNet", "UNet",
+    "SwinUNETR", "SegResNetVAE", "AttentionUnet", "VNet", "UNet",
     "BasicUNet", "HighResNet", "AHNet", "RegUNet",
 )
 
