@@ -181,3 +181,117 @@ def test_unetr_wrong_input_size_raises():
                          mlp_dim=16, num_heads=2, num_layers=4, feature_size=2)
     with pytest.raises(ValueError, match="img_size"):
         init_params(model, (16, 16, 16, 1))
+
+
+def _train_one_step(name, in_ch, out_ch, size, **kwargs):
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.train.losses import DiceLoss
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.train.step import create_train_state, make_train_step
+    model = create_model(name, in_channels=in_ch, out_channels=out_ch, **kwargs)
+    variables = init_params(model, (size, size, size, in_ch))
+    tx = build_optimizer("Adam", lr=1e-3)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, DiceLoss(softmax=True), tx, amp=True)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, in_ch, size, size, size), jnp.float32)
+    labels = jnp.asarray((rng.rand(1, out_ch, size, size, size) > 0.5)
+                         .astype(np.float32))
+    new_state, loss = step(state, images, labels)
+    assert np.isfinite(float(loss))
+    return float(loss)
+
+
+def test_monai_unet_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("UNet", in_channels=2, out_channels=3,
+                     channels=[4, 8, 16], strides=[2, 2], num_res_units=2)
+    v = init_params(m, (16, 16, 16, 2))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 2), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 16, 16, 16, 3)
+    _train_one_step("UNet", 1, 2, 8, channels=[4, 8], strides=[2],
+                    num_res_units=0)
+
+
+def test_basicunet_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("BasicUNet", in_channels=1, out_channels=2,
+                     features=[4, 4, 8, 8, 16, 4])
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 16, 16, 16, 2)
+    _train_one_step("BasicUNet", 1, 2, 16, features=[4, 4, 8, 8, 16, 4])
+
+
+def test_attentionunet_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("AttentionUnet", in_channels=1, out_channels=2,
+                     channels=[4, 8, 16], strides=[2, 2])
+    v = init_params(m, (16, 16, 16, 1), train=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 16, 16, 16, 2)
+    _train_one_step("AttentionUnet", 1, 2, 8, channels=[4, 8], strides=[2])
+
+
+def test_vnet_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("VNet", in_channels=1, out_channels=2)
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 16, 16, 16, 2)
+    _train_one_step("VNet", 1, 2, 16)
+
+
+def test_highresnet_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("HighResNet", in_channels=1, out_channels=2)
+    v = init_params(m, (8, 8, 8, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8, 1), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 8, 8, 8, 2)
+    _train_one_step("HighResNet", 1, 2, 8)
+
+
+def test_segresnetvae_forward_and_train():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("SegResNetVAE", input_image_size=[16, 16, 16],
+                     in_channels=1, out_channels=2, init_filters=4,
+                     blocks_down=[1, 1, 1], blocks_up=[1, 1], vae_nz=8,
+                     smallest_filters=4)
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    # eval: segmentation only
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 16, 16, 16, 2)
+    # train: (seg, scalar vae loss); decoder weights shared with the seg path
+    seg, vae_loss = m.apply(v, x, True, rngs={"sample": jax.random.PRNGKey(0)})
+    assert seg.shape == y.shape
+    assert vae_loss.ndim == 0 and float(vae_loss) > 0
+    loss = _train_one_step("SegResNetVAE", 1, 2, 16,
+                           input_image_size=[16, 16, 16], init_filters=4,
+                           blocks_down=[1, 1, 1], blocks_up=[1, 1], vae_nz=8,
+                           smallest_filters=4)
+    assert loss > 0  # includes the added scalar aux term
+
+
+def test_scalar_aux_loss_added_to_criterion():
+    import jax.numpy as jnp
+    from unet3d_tpu.train.step import compute_criterion
+    pred = jnp.zeros((1, 4, 4, 4, 2))
+    target = jnp.zeros((1, 4, 4, 4, 2))
+    base = compute_criterion(lambda p, t: jnp.mean((p - t) ** 2), pred, target)
+    with_aux = compute_criterion(lambda p, t: jnp.mean((p - t) ** 2),
+                                 (pred, jnp.asarray(0.5)), target)
+    assert float(with_aux) - float(base) == 0.5

@@ -121,6 +121,54 @@ def conv1(features: int, stride: Ints3 = 1, use_bias: bool = True,
                    padding="VALID", use_bias=use_bias, name=name)
 
 
+from functools import partial
+
+
+def _subpixel_impl(k: Tuple[int, int, int], x: jnp.ndarray,
+                   wm: jnp.ndarray) -> jnp.ndarray:
+    n, d, h, w, c = x.shape
+    co = wm.shape[1] // (k[0] * k[1] * k[2])
+    y = jnp.einsum("ndhwc,ck->ndhwk", x, wm)
+    y = y.reshape(n, d, h, w, k[0], k[1], k[2], co)
+    # NOTE: lax.reshape(dimensions=...) looks like it should fuse this
+    # transpose+reshape into one copy but lowers 4x slower on v5e
+    # (28.6 ms vs 6.9 measured) — keep the two-op form.
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
+    return y.reshape(n, d * k[0], h * k[1], w * k[2], co)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _subpixel_apply(k: Tuple[int, int, int], x: jnp.ndarray,
+                    wm: jnp.ndarray) -> jnp.ndarray:
+    """out[s*i + a] = x[i] @ wm[:, a-block] followed by the subpixel interleave.
+
+    Custom VJP because XLA's derived backward materializes an extra
+    transpose+reshape chain; writing the bwd as the mirror un-interleave +
+    two einsums measured 6.25 -> 4.37 ms fwd+bwd for the level-0 DynUNet
+    upsample (tools/microbench_r3.py subpix).
+    """
+    return _subpixel_impl(k, x, wm)
+
+
+def _subpixel_fwd(k, x, wm):
+    return _subpixel_impl(k, x, wm), (x, wm)
+
+
+def _subpixel_bwd(k, res, g):
+    x, wm = res
+    n, d, h, w, c = x.shape
+    co = wm.shape[1] // (k[0] * k[1] * k[2])
+    gr = g.reshape(n, d, k[0], h, k[1], w, k[2], co)
+    gr = jnp.transpose(gr, (0, 1, 3, 5, 2, 4, 6, 7))
+    gf = gr.reshape(n, d, h, w, k[0] * k[1] * k[2] * co)
+    dx = jnp.einsum("ndhwk,ck->ndhwc", gf, wm)
+    dwm = jnp.einsum("ndhwc,ndhwk->ck", x, gf)
+    return dx, dwm
+
+
+_subpixel_apply.defvjp(_subpixel_fwd, _subpixel_bwd)
+
+
 class SubpixelConvTranspose(nn.Module):
     """Transposed conv with kernel == stride (no tap overlap): exactly
     ``out[s*i + a] = x[i] @ w[flip(a)]`` — one MXU matmul plus a subpixel
@@ -139,18 +187,17 @@ class SubpixelConvTranspose(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(in_axis=(0, 1, 2, 3), out_axis=4),
             k + (c, self.features))
-        n, d, h, w = x.shape[:4]
-        # flax ConvTranspose applies the kernel tap-reversed; flip to match
+        # flax ConvTranspose applies the kernel tap-reversed; flip to match.
+        # The flip/transpose stay outside the custom vjp so kernel gradients
+        # flow through them by autodiff (the kernel is tiny).
         wf = jnp.flip(kernel, axis=(0, 1, 2)).astype(x.dtype)
         wm = jnp.transpose(wf, (3, 0, 1, 2, 4)).reshape(
             c, k[0] * k[1] * k[2] * self.features)
-        y = jnp.einsum("ndhwc,ck->ndhwk", x, wm)
-        y = y.reshape(n, d, h, w, k[0], k[1], k[2], self.features)
-        # NOTE: lax.reshape(dimensions=...) looks like it should fuse this
-        # transpose+reshape into one copy but lowers 4x slower on v5e
-        # (28.6 ms vs 6.9 measured) — keep the two-op form.
-        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6, 7))
-        y = y.reshape(n, d * k[0], h * k[1], w * k[2], self.features)
+        import os
+        if os.environ.get("UNET3D_TPU_SUBPIX_VJP") == "0":
+            y = _subpixel_impl(tuple(k), x, wm)  # XLA-derived bwd
+        else:
+            y = _subpixel_apply(tuple(k), x, wm)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
@@ -158,22 +205,27 @@ class SubpixelConvTranspose(nn.Module):
 
 
 def transposed_conv(features: int, kernel_size: Ints3, stride: Ints3,
-                    use_bias: bool = True, name: Optional[str] = None) -> nn.Module:
+                    use_bias: bool = True, output_padding: Ints3 = 0,
+                    name: Optional[str] = None) -> nn.Module:
     """ConvTranspose with torch padding semantics (padding = (k-stride+1)//2 each side
     when k > stride, else VALID), covering the k=3/s=2 (MirroredDecoder) and k=s
     (DynUNet) cases. The kernel == stride case routes through the subpixel
-    matmul formulation (identical params and outputs)."""
+    matmul formulation (identical params and outputs). ``output_padding``
+    follows torch: extra length added to the high side of each spatial dim
+    (MONAI's up-convolutions use output_padding = stride - 1 so out = s*in)."""
     k = _triple(kernel_size)
     s = _triple(stride)
-    if k == s:
+    op = _triple(output_padding)
+    if k == s and op == (0, 0, 0):
         return SubpixelConvTranspose(features=features, kernel_size=k,
                                      use_bias=use_bias, name=name)
-    # torch ConvTranspose padding p gives out = (in-1)*s + k - 2p; flax explicit
-    # padding pairs satisfy out = (in-1)*s - k + 2 + pl + ph, so pl = ph = k-1-p.
+    # torch ConvTranspose padding p gives out = (in-1)*s + k - 2p + op; flax
+    # explicit padding pairs satisfy out = (in-1)*s - k + 2 + pl + ph, so
+    # pl = k-1-p and ph = k-1-p+op.
     pads = []
-    for ki, si in zip(k, s):
+    for ki, si, opi in zip(k, s, op):
         torch_p = max((ki - si + 1) // 2, 0)
-        pads.append((ki - 1 - torch_p, ki - 1 - torch_p))
+        pads.append((ki - 1 - torch_p, ki - 1 - torch_p + opi))
     return nn.ConvTranspose(features=features, kernel_size=k, strides=s,
                             padding=tuple(pads), use_bias=use_bias, name=name)
 

@@ -13,17 +13,22 @@ import jax
 import jax.numpy as jnp
 
 from unet3d_tpu.models import resnet as resnet_lib
+from unet3d_tpu.models.attentionunet import AttentionUnet
+from unet3d_tpu.models.basicunet import BasicUNet
 from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
                                       ResNetWithDecoder1D)
 from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.fcn import FCN
 from unet3d_tpu.models.graph import GraphCMR
-from unet3d_tpu.models.segresnet import SegResNet
+from unet3d_tpu.models.highresnet import HighResNet
+from unet3d_tpu.models.monai_unet import UNet
+from unet3d_tpu.models.segresnet import SegResNet, SegResNetVAE
 from unet3d_tpu.models.unetr import UNETR
 from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
 from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
                                            LabeledVariationalAutoEncoder,
                                            VariationalAutoEncoder)
+from unet3d_tpu.models.vnet import VNet
 from unet3d_tpu.models.vqvae2 import VQVAE
 
 MODEL_REGISTRY: Dict[str, Any] = {
@@ -32,7 +37,13 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "AutoImplantUNet": AutoImplantUNet,
     "DynUNet": DynUNet,
     "SegResNet": SegResNet,
+    "SegResNetVAE": SegResNetVAE,
     "UNETR": UNETR,
+    "UNet": UNet,
+    "BasicUNet": BasicUNet,
+    "AttentionUnet": AttentionUnet,
+    "VNet": VNet,
+    "HighResNet": HighResNet,
     "ConvolutionalAutoEncoder": ConvolutionalAutoEncoder,
     "VariationalAutoEncoder": VariationalAutoEncoder,
     "LabeledVariationalAutoEncoder": LabeledVariationalAutoEncoder,
@@ -66,8 +77,7 @@ def _freeze_lists(value):
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
 _KNOWN_MONAI_UNIMPLEMENTED = (
-    "SwinUNETR", "SegResNetVAE", "AttentionUnet", "VNet", "UNet",
-    "BasicUNet", "HighResNet", "AHNet", "RegUNet",
+    "SwinUNETR", "AHNet", "RegUNet", "SegResNetDS", "DiNTS", "QuickNAT",
 )
 
 

@@ -21,9 +21,11 @@ after the init conv, additive skips instead of concat).
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from unet3d_tpu.models.layers import (MyronenkoResidualBlock, conv1, conv3,
@@ -83,3 +85,128 @@ class SegResNet(nn.Module):
             x = nn.relu(x)
             x = conv1(self.out_channels, name="conv_final")(x)
         return x
+
+
+class SegResNetVAE(nn.Module):
+    """SegResNet with the Myronenko VAE regularization branch, per MONAI's
+    ``monai.networks.nets.SegResNetVAE`` semantics.
+
+    The VAE branch shares the segmentation decoder's up-path weights: from the
+    encoder bottleneck it strides down to ``smallest_filters`` channels,
+    flattens to a ``vae_nz``-dim latent (mu + sampled noise; optional learned
+    std), projects back up, and replays the decoder WITHOUT skip additions to
+    reconstruct the input. During training ``__call__`` returns
+    ``(seg_output, vae_loss)`` where ``vae_loss = MSE(recon, input) + reg``;
+    the train step adds scalar extras to the criterion
+    (`unet3d_tpu/train/step.py` compute_criterion). Eval returns only the
+    segmentation output.
+    """
+    input_image_size: Tuple[int, ...]
+    spatial_dims: int = 3
+    init_filters: int = 8
+    in_channels: int = 1
+    out_channels: int = 2
+    dropout_prob: Optional[float] = None
+    norm_groups: int = 8
+    blocks_down: Tuple[int, ...] = (1, 2, 2, 4)
+    blocks_up: Tuple[int, ...] = (1, 1, 1)
+    upsample_mode: str = "nontrainable"
+    vae_estimate_std: bool = False
+    vae_default_std: float = 0.3
+    vae_nz: int = 256
+    smallest_filters: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        if self.spatial_dims != 3:
+            raise NotImplementedError("unet3d_tpu SegResNetVAE is 3D")
+        net_input = x
+        x = conv3(self.init_filters, 3, 1, name="convInit")(x)
+        if self.dropout_prob is not None:
+            x = nn.Dropout(rate=self.dropout_prob, deterministic=not train,
+                           name="dropout")(x)
+
+        skips = []
+        for i, n_blocks in enumerate(self.blocks_down):
+            width = self.init_filters * (2 ** i)
+            if i > 0:
+                x = conv3(width, 3, 2, name=f"down{i}")(x)
+            for b in range(n_blocks):
+                x = MyronenkoResidualBlock(width, norm_groups=self.norm_groups,
+                                           name=f"layer{i}_block{b}")(x)
+            skips.append(x)
+        vae_input = x
+
+        # decoder modules are created once and replayed (weight-shared) by the
+        # VAE branch, matching MONAI's reuse of up_samples/up_layers
+        up_convs, up_blocks = [], []
+        bottom_width = self.init_filters * (2 ** (len(self.blocks_down) - 1))
+        for i, n_blocks in enumerate(self.blocks_up):
+            width = bottom_width // (2 ** (i + 1))
+            up_convs.append(conv1(width, name=f"up{i}_conv"))
+            up_blocks.append([
+                MyronenkoResidualBlock(width, norm_groups=self.norm_groups,
+                                       name=f"up{i}_block{b}")
+                for b in range(n_blocks)])
+
+        mode = ("trilinear" if self.upsample_mode in ("nontrainable", "trilinear")
+                else "nearest")
+
+        def run_decoder(h, use_skips: bool):
+            for i in range(len(self.blocks_up)):
+                h = up_convs[i](h)
+                d, hh, w = h.shape[1:4]
+                h = resize_ndhwc(h, (2 * d, 2 * hh, 2 * w), mode=mode)
+                if use_skips:
+                    h = h + skips[len(self.blocks_up) - 1 - i]
+                for blk in up_blocks[i]:
+                    h = blk(h)
+            return h
+
+        y = run_decoder(x, use_skips=True)
+        y = nn.GroupNorm(num_groups=group_norm_groups(y.shape[-1],
+                                                      self.norm_groups),
+                         name="final_norm")(y)
+        y = nn.relu(y)
+        seg = conv1(self.out_channels, name="conv_final")(y)
+        # the VAE branch only contributes during training, but must also be
+        # traced at init so its parameters exist before the first train step
+        if not train and not self.is_initializing():
+            return seg
+
+        # ---- VAE branch (MONAI SegResNetVAE._get_vae_loss) ----
+        zoom = 2 ** (len(self.blocks_down) - 1)
+        fc_insize = [s // (2 * zoom) for s in self.input_image_size]
+        total = self.smallest_filters * int(math.prod(fc_insize))
+
+        v = nn.GroupNorm(num_groups=group_norm_groups(vae_input.shape[-1],
+                                                      self.norm_groups),
+                         name="vae_down_norm")(vae_input)
+        v = nn.relu(v)
+        v = conv3(self.smallest_filters, 3, 2, name="vae_down_conv")(v)
+        v = v.reshape(v.shape[0], -1)
+        z_mean = nn.Dense(self.vae_nz, name="vae_fc1")(v)
+        noise = jax.random.normal(self.make_rng("sample"), z_mean.shape,
+                                  dtype=z_mean.dtype)
+        if self.vae_estimate_std:
+            z_sigma = jax.nn.softplus(nn.Dense(self.vae_nz, name="vae_fc2")(v))
+            reg = 0.5 * jnp.mean(z_mean.astype(jnp.float32) ** 2
+                                 + z_sigma.astype(jnp.float32) ** 2
+                                 - jnp.log(1e-8 + z_sigma.astype(jnp.float32) ** 2)
+                                 - 1.0)
+            z = z_mean + z_sigma * noise
+        else:
+            reg = jnp.mean(z_mean.astype(jnp.float32) ** 2)
+            z = z_mean + self.vae_default_std * noise
+        r = nn.relu(nn.Dense(total, name="vae_fc3")(z))
+        r = r.reshape((r.shape[0],) + tuple(fc_insize) + (self.smallest_filters,))
+        r = conv1(bottom_width, name="vae_fc_up_conv")(r)
+        d, hh, w = r.shape[1:4]
+        r = resize_ndhwc(r, (2 * d, 2 * hh, 2 * w), mode=mode)
+        r = run_decoder(r, use_skips=False)
+        recon = conv1(self.in_channels, name="vae_conv_final")(r)
+        mse = jnp.mean((recon.astype(jnp.float32)
+                        - net_input.astype(jnp.float32)) ** 2)
+        if not train:
+            return seg
+        return seg, mse + reg

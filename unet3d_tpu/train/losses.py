@@ -9,13 +9,29 @@ sigmoid/softmax flags).
 
 Layout: channel-LAST ``(N, ..., C)`` — the on-device layout. Targets are one-hot
 (or continuous for regression).
+
+Mixed precision: the train step hands losses the raw (possibly bf16) network
+output — casting the full 128^3 volume to f32 first costs ~2.2 ms/step
+(tools/microbench_r3.py). The Dice family therefore keeps elementwise products
+in the input dtype and accumulates every reduction in f32 (`_sum32`); losses
+with transcendentals (focal/CE/BCE) upcast at entry instead. This mirrors the
+reference's AMP semantics, where the criterion runs inside autocast
+(`unet3d/train/training_utils.py:93-98`).
 """
 from __future__ import annotations
+
+from functools import partial
 
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+
+_sum32 = partial(jnp.sum, dtype=jnp.float32)
+
+
+def _f32(pred: jnp.ndarray) -> jnp.ndarray:
+    return pred.astype(jnp.float32) if pred.dtype != jnp.float32 else pred
 
 
 def _apply_activation(pred, sigmoid=False, softmax=False):
@@ -57,13 +73,13 @@ class DiceLoss:
         target = target.astype(pred.dtype)
         spatial = tuple(range(1, pred.ndim - 1))
         axes = ((0,) + spatial) if self.batch else spatial
-        intersection = jnp.sum(target * pred, axis=axes)
+        intersection = _sum32(target * pred, axis=axes)
         if self.squared_pred:
-            ground = jnp.sum(target ** 2, axis=axes)
-            prediction = jnp.sum(pred ** 2, axis=axes)
+            ground = _sum32(target ** 2, axis=axes)
+            prediction = _sum32(pred ** 2, axis=axes)
         else:
-            ground = jnp.sum(target, axis=axes)
-            prediction = jnp.sum(pred, axis=axes)
+            ground = _sum32(target, axis=axes)
+            prediction = _sum32(pred, axis=axes)
         denominator = ground + prediction
         if self.jaccard:
             denominator = 2.0 * (denominator - intersection)
@@ -97,9 +113,9 @@ class GeneralizedDiceLoss:
         target = target.astype(pred.dtype)
         spatial = tuple(range(1, pred.ndim - 1))
         axes = ((0,) + spatial) if self.batch else spatial
-        intersection = jnp.sum(target * pred, axis=axes)
-        ground = jnp.sum(target, axis=axes)
-        prediction = jnp.sum(pred, axis=axes)
+        intersection = _sum32(target * pred, axis=axes)
+        ground = _sum32(target, axis=axes)
+        prediction = _sum32(pred, axis=axes)
         if self.w_type == "simple":
             w = jnp.reciprocal(ground)
         elif self.w_type == "uniform":
@@ -134,6 +150,7 @@ class FocalLoss:
         self.use_softmax = use_softmax
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred = _f32(pred)
         pred, target = _drop_background(pred, target, self.include_background)
         target = target.astype(pred.dtype)
         if self.use_softmax:
@@ -180,6 +197,7 @@ class DiceCELoss:
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         dice = self.dice(pred, target)
+        pred = _f32(pred)
         target_f = target.astype(pred.dtype)
         if self.sigmoid or pred.shape[-1] == 1:
             ce = jnp.mean(jax.nn.softplus(-pred) * target_f
@@ -216,6 +234,7 @@ class CrossEntropyLoss:
         self.label_smoothing = label_smoothing
 
     def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred = _f32(pred)
         target = target.astype(pred.dtype)
         if self.label_smoothing:
             n = target.shape[-1]
@@ -240,6 +259,7 @@ class BCEWithLogitsLoss:
         self.pos_weight = None if pos_weight is None else jnp.asarray(pos_weight)
 
     def __call__(self, pred, target):
+        pred = _f32(pred)
         target = target.astype(pred.dtype)
         pos = jax.nn.softplus(-pred) * target
         if self.pos_weight is not None:
@@ -265,6 +285,7 @@ class MSELoss:
         self.reduction = reduction
 
     def __call__(self, pred, target):
+        pred = _f32(pred)
         return _reduce((pred - target.astype(pred.dtype)) ** 2, self.reduction)
 
 
@@ -273,6 +294,7 @@ class L1Loss:
         self.reduction = reduction
 
     def __call__(self, pred, target):
+        pred = _f32(pred)
         return _reduce(jnp.abs(pred - target.astype(pred.dtype)), self.reduction)
 
 
@@ -282,6 +304,7 @@ class SmoothL1Loss:
         self.beta = beta
 
     def __call__(self, pred, target):
+        pred = _f32(pred)
         diff = jnp.abs(pred - target.astype(pred.dtype))
         loss = jnp.where(diff < self.beta, 0.5 * diff ** 2 / self.beta,
                          diff - 0.5 * self.beta)
@@ -300,6 +323,7 @@ class VAELoss:
     def __call__(self, pred, target, mu=None, logvar=None):
         loss = self.recon(pred, target)
         if mu is not None:
+            mu, logvar = _f32(mu), _f32(logvar)
             kl = -0.5 * jnp.mean(1 + logvar - mu ** 2 - jnp.exp(logvar))
             loss = loss + self.beta * kl
         return loss

@@ -51,7 +51,16 @@ def from_ndhwc(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_criterion(criterion: Callable, output, target: jnp.ndarray) -> jnp.ndarray:
-    """Apply a loss, handling VAE tuple outputs and deep-supervision stacks."""
+    """Apply a loss, handling VAE tuple outputs, deep-supervision stacks, and
+    scalar auxiliary losses.
+
+    Models may return ``(output, *extras)``. Extras are consumed by a
+    ``wants_extras`` criterion (mu/logvar for VAELoss); otherwise any SCALAR
+    extra is treated as an auxiliary loss term the model computed internally
+    (VQ-VAE commitment ``diff``, SegResNetVAE's reconstruction+KL) and added to
+    the criterion value. Non-scalar extras without a wants_extras criterion are
+    ignored.
+    """
     extras = ()
     if isinstance(output, tuple):
         output, *extras = output
@@ -65,8 +74,13 @@ def compute_criterion(criterion: Callable, output, target: jnp.ndarray) -> jnp.n
         weights = jnp.asarray([0.5 ** i for i in range(n)])
         weights = weights / jnp.sum(weights)
         losses = jnp.stack([criterion(output[:, i], target) for i in range(n)])
-        return jnp.sum(weights * losses)
-    return criterion(output, target)
+        loss = jnp.sum(weights * losses)
+    else:
+        loss = criterion(output, target)
+    for e in extras:
+        if hasattr(e, "ndim") and e.ndim == 0:
+            loss = loss + e.astype(loss.dtype)
+    return loss
 
 
 def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation,
@@ -92,12 +106,17 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
             out = model.apply(variables, x, True,
                               rngs={"dropout": dropout_rng, "sample": sample_rng},
                               mutable=mutable)
-            new_stats = state.extra_variables
-            if mutable:
-                out, updates = out
-                new_stats = {**state.extra_variables, **dict(updates)}
-            out_f32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
-            loss = compute_criterion(criterion, out_f32, y.astype(jnp.float32))
+            # apply() with a list `mutable` ALWAYS returns (out, updates) —
+            # even an empty list — so unpack unconditionally
+            out, updates = out
+            new_stats = {**state.extra_variables, **dict(updates)}
+            # losses handle mixed precision themselves (losses.py module note):
+            # casting the full output volume to f32 here costs ~2.2 ms/step
+            import os
+            if os.environ.get("UNET3D_TPU_LOSS_F32") == "1":
+                out = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.float32), out)
+            loss = compute_criterion(criterion, out, y)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -131,15 +150,13 @@ def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = Non
         x = to_ndhwc(images)
         y = to_ndhwc(labels) if labels.ndim == 5 else labels
         out = forward(state, x)
-        out = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
-        return compute_criterion(criterion, out, y.astype(jnp.float32))
+        return compute_criterion(criterion, out, y)
 
     if inferer is not None:
         def eval_step_inferer(state, images, labels):
             x = to_ndhwc(images)
             y = to_ndhwc(labels) if labels.ndim == 5 else labels
             out = inferer(x, lambda z: forward(state, z))
-            return compute_criterion(criterion, out.astype(jnp.float32),
-                                     y.astype(jnp.float32))
+            return compute_criterion(criterion, out, y)
         return jax.jit(eval_step_inferer)
     return jax.jit(eval_step)
