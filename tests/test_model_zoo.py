@@ -131,8 +131,8 @@ def test_segresnet_trains_one_step():
 def test_unsupported_monai_name_error_is_actionable():
     import pytest
     from unet3d_tpu.models.registry import fetch_model_by_name
-    with pytest.raises(ValueError, match="SwinUNETR.*MONAI"):
-        fetch_model_by_name("SwinUNETR")
+    with pytest.raises(ValueError, match="AHNet.*MONAI"):
+        fetch_model_by_name("AHNet")
     with pytest.raises(ValueError, match="supported names:.*SegResNet"):
         fetch_model_by_name("NoSuchNet")
 
@@ -295,3 +295,38 @@ def test_scalar_aux_loss_added_to_criterion():
     with_aux = compute_criterion(lambda p, t: jnp.mean((p - t) ** 2),
                                  (pred, jnp.asarray(0.5)), target)
     assert float(with_aux) - float(base) == 0.5
+
+
+def test_swin_unetr_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("SwinUNETR", in_channels=1, out_channels=2,
+                     feature_size=2, depths=[1, 1, 1, 1],
+                     num_heads=[1, 2, 4, 8], window_size=2)
+    v = init_params(m, (32, 32, 32, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 32, 1), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (1, 32, 32, 32, 2)
+    assert np.all(np.isfinite(np.asarray(y)))
+    _train_one_step("SwinUNETR", 1, 2, 32, feature_size=2,
+                    depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8], window_size=2)
+
+
+def test_swin_unetr_indivisible_size_raises():
+    import pytest
+    m = create_model("SwinUNETR", in_channels=1, out_channels=2,
+                     feature_size=2, depths=[1, 1, 1, 1],
+                     num_heads=[1, 2, 4, 8], window_size=2)
+    with pytest.raises(ValueError, match="divisible"):
+        init_params(m, (24, 24, 24, 1))
+
+
+def test_swin_shifted_window_mask_blocks_cross_region_attention():
+    import numpy as np
+    from unet3d_tpu.models.swin_unetr import _shift_attn_mask
+    mask = _shift_attn_mask((8, 8, 8), (4, 4, 4), (2, 2, 2))
+    assert mask.shape == (8, 4 ** 3, 4 ** 3)
+    # boundary windows must contain blocked pairs; diagonal always allowed
+    assert (mask < 0).any()
+    for wi in range(mask.shape[0]):
+        assert np.all(np.diag(mask[wi]) == 0)

@@ -23,6 +23,7 @@ from unet3d_tpu.models.graph import GraphCMR
 from unet3d_tpu.models.highresnet import HighResNet
 from unet3d_tpu.models.monai_unet import UNet
 from unet3d_tpu.models.segresnet import SegResNet, SegResNetVAE
+from unet3d_tpu.models.swin_unetr import SwinUNETR
 from unet3d_tpu.models.unetr import UNETR
 from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
 from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
@@ -39,6 +40,7 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "SegResNet": SegResNet,
     "SegResNetVAE": SegResNetVAE,
     "UNETR": UNETR,
+    "SwinUNETR": SwinUNETR,
     "UNet": UNet,
     "BasicUNet": BasicUNet,
     "AttentionUnet": AttentionUnet,
@@ -77,7 +79,7 @@ def _freeze_lists(value):
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
 _KNOWN_MONAI_UNIMPLEMENTED = (
-    "SwinUNETR", "AHNet", "RegUNet", "SegResNetDS", "DiNTS", "QuickNAT",
+    "AHNet", "RegUNet", "SegResNetDS", "DiNTS", "QuickNAT",
 )
 
 

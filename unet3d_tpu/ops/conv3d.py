@@ -40,38 +40,40 @@ def conv3d_decomp2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     Output voxel o[d] = sum_dz conv2d(x[d + dz - r], w[dz]); folding D into the
     batch turns each tap into one large 2D conv, then the partial sums are
-    combined with D-shifts. ALL spatial dims are padded in one jnp.pad and the
-    taps run VALID: letting the 2D conv pad H/W itself costs a second
-    materialized pad per tap (measured 15.2 -> 14.3 ms fwd+bwd for 64ch @128^3,
-    tools/microbench_r3.py; slab slices of the padded buffer are cheaper than
-    either output-side tap combining or one stacked-output-channel conv, which
-    measured 24 ms).
+    combined with D-shifts. The depth axis is padded once; taps pad H/W via
+    SAME inside the conv so the H/W pad fuses with the producing elementwise
+    chain (measured: a single explicit D+H+W pad wins 0.9 ms per conv in
+    isolation but loses 3.9 ms/step in context — tools/bisect_step.py).
+    Output-side tap combining and stacked-output-channel single-conv forms
+    both measured ~60% worse fwd+bwd (tools/microbench_r3.py).
     """
     n, d, h, wd, c = x.shape
     kd, kh, kw = w.shape[:3]
     r = kd // 2
-    if os.environ.get("UNET3D_TPU_DECPAD") == "d":
-        # legacy form: pad D only, taps pad H/W internally via SAME
-        xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0), (0, 0)))
+    if os.environ.get("UNET3D_TPU_DECPAD") == "hw":
+        # experiment: pad D+H+W once, VALID taps. Wins 0.9 ms/conv at the op
+        # level but LOSES 3.9 ms/step in the full train step — the explicit
+        # H/W pad blocks the leaky_relu->conv-input fusion XLA otherwise
+        # builds (tools/bisect_step.py, r2 session 2). Kept opt-in only.
+        rh, rw = kh // 2, kw // 2
+        xp = jnp.pad(x, ((0, 0), (r, r), (rh, rh), (rw, rw), (0, 0)))
         out = None
         for dz in range(kd):
             slab = jax.lax.slice_in_dim(xp, dz, dz + d, axis=1)
-            slab = slab.reshape(n * d, h, wd, c)
+            slab = slab.reshape(n * d, h + 2 * rh, wd + 2 * rw, c)
             y2 = jax.lax.conv_general_dilated(
-                slab, w[dz], (1, 1), "SAME",
+                slab, w[dz], (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=x.dtype)
-            out = y2.reshape(n, d, h, wd, -1) if out is None \
-                else out + y2.reshape(n, d, h, wd, -1)
+            y = y2.reshape(n, d, h, wd, -1)
+            out = y if out is None else out + y
         return out
-    rh, rw = kh // 2, kw // 2
-    xp = jnp.pad(x, ((0, 0), (r, r), (rh, rh), (rw, rw), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(kd):
-        slab = jax.lax.slice_in_dim(xp, dz, dz + d, axis=1)
-        slab = slab.reshape(n * d, h + 2 * rh, wd + 2 * rw, c)
+        slab = jax.lax.slice_in_dim(xp, dz, dz + d, axis=1).reshape(n * d, h, wd, c)
         y2 = jax.lax.conv_general_dilated(
-            slab, w[dz], (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            slab, w[dz], (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=x.dtype)
         y = y2.reshape(n, d, h, wd, -1)
         out = y if out is None else out + y
