@@ -261,3 +261,15 @@ def test_train_and_predict_cli_multidevice(workspace):
     finally:
         sys.argv = old
     assert os.listdir(os.path.join(out_dir, "predictions"))
+
+
+def test_nameless_inference_section_builds_no_inferer():
+    """`inference: {"amp": true}` requests bf16 forwards without a sliding-window
+    inferer; the factory must tolerate the missing name (regression: KeyError)."""
+    from unet3d_tpu.config.factory import build_inferer_from_config
+
+    assert build_inferer_from_config({"inference": {"amp": True}}) is None
+    inferer = build_inferer_from_config(
+        {"inference": {"name": "SlidingWindowInferer", "roi_size": [8, 8, 8],
+                       "overlap": 0.25, "amp": True}})
+    assert inferer is not None

@@ -89,3 +89,49 @@ def test_sw_batch_size_stacks_windows_into_one_forward():
                                     sw_batch_size=4, overlap=0.5)
     assert any(s[0] == 4 for s in seen), seen
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out4), rtol=1e-6)
+
+
+def test_amp_inference_matches_f32_within_bf16_tolerance():
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.predict.volumetric import make_forward
+    from unet3d_tpu.train.step import create_train_state
+    import optax
+
+    model = create_model("UNet3D", n_features=1, base_width=2,
+                         encoder_blocks=[1, 1], n_outputs=2)
+    variables = init_params(model, (16, 16, 16, 1))
+    state = create_train_state(variables, optax.adam(1e-3))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    f32 = make_forward(model, state)(x)
+    amp = make_forward(model, state, amp=True)(x)
+    assert amp.dtype == jnp.float32  # cast back for blending/writing
+    # bf16 error accumulates through layers; compare on output scale
+    scale = float(np.abs(np.asarray(f32)).max())
+    np.testing.assert_allclose(np.asarray(amp), np.asarray(f32),
+                               atol=0.05 * scale)
+
+
+def test_sliding_window_amp_forward():
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.predict.sliding_window import SlidingWindowInferer
+    from unet3d_tpu.predict.volumetric import make_forward
+    from unet3d_tpu.train.step import create_train_state
+    import optax
+
+    model = create_model("UNet3D", n_features=1, base_width=2,
+                         encoder_blocks=[1, 1], n_outputs=1)
+    variables = init_params(model, (8, 8, 8, 1))
+    state = create_train_state(variables, optax.adam(1e-3))
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8), overlap=0.25,
+                                   mode="gaussian")
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 12, 12, 12, 1), jnp.float32)
+    ref = inferer(x, make_forward(model, state))
+    out = inferer(x, make_forward(model, state, amp=True))
+    assert out.shape == ref.shape
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.05 * scale)

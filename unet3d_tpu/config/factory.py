@@ -235,8 +235,12 @@ def build_scheduler_from_config(config, base_lr):
 
 
 def build_inferer_from_config(config):
-    """Parity: `script_utils.py:290-293`."""
-    return build_inferer(config["inference"]["name"], **get_kwargs(config["inference"]))
+    """Parity: `script_utils.py:290-293`. The ``inference`` section may carry a
+    name-less extension key (``amp``) without requesting an inferer."""
+    section = config["inference"]
+    if "name" not in section:
+        return None
+    return build_inferer(section["name"], **get_kwargs(section, skip_keys=("amp",)))
 
 
 def get_activation_from_config(config):

@@ -87,13 +87,16 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
 
 
 def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
-                           inferer: Optional[Callable] = None) -> Callable:
+                           inferer: Optional[Callable] = None,
+                           amp: bool = False) -> Callable:
     """Jit the validation step with mesh shardings (no grad).
 
-    Mirrors `train.step.make_eval_step` but shards the batch over the mesh's
-    (data, space) axes, so validation with ``n_gpus > 1`` uses every device
-    the way training does.
+    Mirrors `train.step.make_eval_step` (including its ``amp`` bfloat16
+    forward) but shards the batch over the mesh's (data, space) axes, so
+    validation with ``n_gpus > 1`` uses every device the way training does.
     """
+    import jax.numpy as jnp
+
     from unet3d_tpu.train.step import compute_criterion, to_ndhwc
 
     replicated = NamedSharding(mesh, P())
@@ -101,6 +104,11 @@ def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
 
     def forward(state: TrainState, x):
         variables = {"params": state.params, **state.extra_variables}
+        if amp:
+            x = x.astype(jnp.bfloat16)
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables)
         return model.apply(variables, x, False)
 
     def eval_step(state: TrainState, images, labels):

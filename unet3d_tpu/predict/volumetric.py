@@ -24,7 +24,7 @@ from unet3d_tpu.utils.validation import validate_batch_item
 
 
 def make_forward(model, state: TrainState, use_test: bool = False,
-                 mesh=None) -> Callable:
+                 mesh=None, amp: bool = False) -> Callable:
     """Jitted inference forward over NDHWC inputs.
 
     With ``mesh``, the input is sharded over the mesh's (data, space) axes and
@@ -32,19 +32,33 @@ def make_forward(model, state: TrainState, use_test: bool = False,
     XLA); the caller must pass a state already replicated on the mesh. Falls
     back to the unsharded jit per call when a batch's dims do not divide the
     mesh (NamedSharding requires divisibility).
+
+    ``amp`` runs the forward in bfloat16 (output cast back to f32) — the
+    inference analog of the training AMP flag / the reference's fp16 prediction
+    cast (`unet3d/predict/volumetric.py:73-74`).
     """
     supports_test = use_test and "test" in getattr(
         model.__call__, "__wrapped__", model.__call__).__code__.co_varnames
 
+    base_variables = {"params": state.params, **state.extra_variables}
+    if amp:
+        # cast once here, NOT inside forward: the sliding-window inferer calls
+        # forward inside a lax.scan, where a per-call cast would re-run for
+        # every window
+        base_variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, base_variables)
+
     def forward(x: jnp.ndarray) -> jnp.ndarray:
-        variables = {"params": state.params, **state.extra_variables}
+        if amp:
+            x = x.astype(jnp.bfloat16)
         if supports_test:
-            out = model.apply(variables, x, False, test=True)
+            out = model.apply(base_variables, x, False, test=True)
         else:
-            out = model.apply(variables, x, False)  # train positional (remat compat)
+            out = model.apply(base_variables, x, False)  # train positional (remat compat)
         if isinstance(out, tuple):  # VAE family returns (out, mu, logvar)
             out = out[0]
-        return out
+        return out.astype(jnp.float32) if amp else out
 
     plain = jax.jit(forward)
     if mesh is None:
@@ -100,18 +114,19 @@ def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir:
                            activation: Optional[str] = None, resample: bool = False,
                            interpolation: str = "trilinear",
                            inferer: Optional[Callable] = None,
-                           mesh=None) -> List[str]:
+                           mesh=None, amp: bool = False) -> List[str]:
     """Run inference over a loader and write one NIfTI per case.
 
     Parity: `unet3d/predict/volumetric.py:131-177` (forward / inferer, activation,
     per-item resample back to the native grid with meta from the source file).
-    ``mesh`` spreads each forward across the device mesh (data/space axes).
+    ``mesh`` spreads each forward across the device mesh (data/space axes);
+    ``amp`` runs forwards in bfloat16 (activations applied in f32).
     """
     os.makedirs(prediction_dir, exist_ok=True)
     if mesh is not None:
         from unet3d_tpu.parallel.mesh import replicate_state
         state = replicate_state(state, mesh)
-    forward = make_forward(model, state, use_test=True, mesh=mesh)
+    forward = make_forward(model, state, use_test=True, mesh=mesh, amp=amp)
     written: List[str] = []
     for batch in dataloader:
         for key in ("image", "affine", "source_filename"):

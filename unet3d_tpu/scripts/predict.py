@@ -86,11 +86,13 @@ def run_inference(config, output_directory, model_filename, group, activation,
 
     prediction_dir = os.path.join(work_dir, "predictions")
     os.makedirs(prediction_dir, exist_ok=True)
+    amp = bool(in_config("amp", config.get("inference", {}),
+                         in_config("amp", config.get("training", {}), False)))
     return volumetric_predictions(model=model, state=state, dataloader=dataloader,
                                   prediction_dir=prediction_dir,
                                   activation=activation, interpolation="trilinear",
                                   resample=in_config("resample", config["dataset"], False),
-                                  mesh=mesh)
+                                  mesh=mesh, amp=amp)
 
 
 def main():

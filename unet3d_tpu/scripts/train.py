@@ -147,8 +147,8 @@ def run(config_filename, output_dir, namespace):
                                 shard_batch(jnp.asarray(labels), mesh))
 
         sharded_eval = make_sharded_eval_step(model, criterion, mesh,
-                                              inferer=inferer)
-        plain_eval = make_eval_step(model, criterion, inferer=inferer)
+                                              inferer=inferer, amp=amp)
+        plain_eval = make_eval_step(model, criterion, inferer=inferer, amp=amp)
 
         def eval_step(s, images, labels):
             # ragged last batch: NamedSharding needs divisibility — run it
@@ -163,7 +163,7 @@ def run(config_filename, output_dir, namespace):
         predict_mesh = make_mesh({"space": n_devices})
     else:
         train_step = make_train_step(model, criterion, tx, amp=amp)
-        eval_step = make_eval_step(model, criterion, inferer=inferer)
+        eval_step = make_eval_step(model, criterion, inferer=inferer, amp=amp)
 
     state = run_training(
         train_step=train_step, eval_step=eval_step, state=state,
@@ -192,7 +192,9 @@ def run(config_filename, output_dir, namespace):
                                resample=in_config("resample", config["dataset"], False),
                                inferer=inferer,
                                activation=get_activation_from_config(config),
-                               mesh=predict_mesh)
+                               mesh=predict_mesh,
+                               amp=bool(in_config("amp", config.get("inference", {}),
+                                                  amp)))
 
 
 def main(args=None):

@@ -138,12 +138,20 @@ def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation
                    donate_argnums=(0,))
 
 
-def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = None) -> Callable:
+def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = None,
+                   amp: bool = False) -> Callable:
     """Validation step (no grad): optionally route the forward through an inferer
-    (e.g. sliding window), parity with `training_utils.py:101-112`."""
+    (e.g. sliding window), parity with `training_utils.py:101-112`. ``amp``
+    runs the forward in bfloat16 like the reference's autocast validation
+    (`training_utils.py:93-98`); losses upcast as needed (losses.py)."""
 
     def forward(state: TrainState, x: jnp.ndarray):
         variables = {"params": state.params, **state.extra_variables}
+        if amp:
+            x = x.astype(jnp.bfloat16)
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables)
         return model.apply(variables, x, False)  # positional: see train_step_body
 
     def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
