@@ -48,15 +48,16 @@ def main():
               flush=True)
 
     # flip TTA (4 flips) in bf16
-    from unet3d_tpu.predict.sliding_window import flip_tta
-    fwd = make_forward(model, state, amp=True)
+    from unet3d_tpu.predict.volumetric import predictions_with_tta
     inferer = SlidingWindowInferer(roi_size=(128, 128, 128), overlap=0.5,
                                    mode="gaussian")
-    out = flip_tta(case, fwd, inferer)
+    fwd = make_forward(model, state, amp=True)
+    out = predictions_with_tta(model, state, case, inferer=inferer, forward=fwd)
     float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(3):
-        out = flip_tta(case, fwd, inferer)
+        out = predictions_with_tta(model, state, case, inferer=inferer,
+                                   forward=fwd)
     float(jnp.sum(out))
     print(f"whole-case bf16 + 4x flip TTA: {(time.perf_counter() - t0) / 3:.3f}"
           " s/case", flush=True)

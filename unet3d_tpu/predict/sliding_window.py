@@ -79,13 +79,25 @@ class SlidingWindowInferer:
         self.sigma_scale = sigma_scale
         self.padding_mode = padding_mode
         self.cval = cval
+        self._jitted = {}
         del progress
 
     def __call__(self, inputs: jnp.ndarray, network: Callable) -> jnp.ndarray:
-        return sliding_window_inference(
-            inputs, network, roi_size=self.roi_size, sw_batch_size=self.sw_batch_size,
-            overlap=self.overlap, mode=self.mode, sigma_scale=self.sigma_scale,
-            cval=self.cval)
+        # One jitted program per network: re-tracing the eager scan on every
+        # call rebuilds its closure constants (importance map, start grid),
+        # which defeats the compile cache — on the remote-compile TPU path
+        # that recompiled the whole window scan per case (measured 113 s/case
+        # vs 0.9 s compiled). jax.jit keys the rest on input shape.
+        key = id(network)
+        if key not in self._jitted:
+            def run(x, _network=network):
+                return sliding_window_inference(
+                    x, _network, roi_size=self.roi_size,
+                    sw_batch_size=self.sw_batch_size, overlap=self.overlap,
+                    mode=self.mode, sigma_scale=self.sigma_scale, cval=self.cval)
+            # hold a strong ref to network so id() can't be recycled
+            self._jitted[key] = (jax.jit(run), network)
+        return self._jitted[key][0](inputs)
 
 
 class SimpleInferer:

@@ -174,10 +174,17 @@ def infer_subject_id(filename, all_filenames=None) -> str:
 
 def predictions_with_tta(model, state: TrainState, x_ndhwc: jnp.ndarray,
                          inferer: Optional[Callable] = None,
-                         flip_axes=((1,), (2,), (3,))) -> jnp.ndarray:
+                         flip_axes=((1,), (2,), (3,)),
+                         amp: bool = False,
+                         forward: Optional[Callable] = None) -> jnp.ndarray:
     """Test-time flip averaging on device (framework extension; the reference's
-    SPPIN container averages fold models, `examples/sppin/process.py:242-263`)."""
-    forward = make_forward(model, state)
+    SPPIN container averages fold models, `examples/sppin/process.py:242-263`).
+
+    Pass a prebuilt ``forward`` when calling repeatedly — the sliding-window
+    inferer caches its compiled program per network object, so rebuilding the
+    forward every call forces a re-jit."""
+    if forward is None:
+        forward = make_forward(model, state, amp=amp)
     run = (lambda z: inferer(z, forward)) if inferer is not None else forward
     out = run(x_ndhwc)
     n = 1
