@@ -47,6 +47,40 @@ def main():
         print(f"whole-case {label}: {(time.perf_counter() - t0) / n:.3f} s/case",
               flush=True)
 
+    # sw_batch_size sweep (bf16): stacking windows into one forward helps when
+    # single windows under-fill the chip; at 128^3 the MXU is already saturated
+    fwd = make_forward(model, state, amp=True)
+    for sw in (2, 4):
+        inferer = SlidingWindowInferer(roi_size=(128, 128, 128), overlap=0.5,
+                                       mode="gaussian", sw_batch_size=sw)
+        try:
+            out = inferer(case, fwd)
+            float(jnp.sum(out))
+            t0 = time.perf_counter()
+            n = 5
+            for _ in range(n):
+                out = inferer(case, fwd)
+            float(jnp.sum(out))
+            print(f"whole-case bf16 sw_batch_size={sw}: "
+                  f"{(time.perf_counter() - t0) / n:.3f} s/case", flush=True)
+        except Exception as error:
+            print(f"whole-case bf16 sw_batch_size={sw}: failed ({error})",
+                  flush=True)
+
+    # smaller 64^3 ROI where window stacking should pay (MONAI's use case)
+    for sw in (1, 4):
+        inferer = SlidingWindowInferer(roi_size=(64, 64, 64), overlap=0.5,
+                                       mode="gaussian", sw_batch_size=sw)
+        out = inferer(case, fwd)
+        float(jnp.sum(out))
+        t0 = time.perf_counter()
+        n = 3
+        for _ in range(n):
+            out = inferer(case, fwd)
+        float(jnp.sum(out))
+        print(f"whole-case bf16 roi=64 sw_batch_size={sw}: "
+              f"{(time.perf_counter() - t0) / n:.3f} s/case", flush=True)
+
     # flip TTA (4 flips) in bf16
     from unet3d_tpu.predict.volumetric import predictions_with_tta
     inferer = SlidingWindowInferer(roi_size=(128, 128, 128), overlap=0.5,
