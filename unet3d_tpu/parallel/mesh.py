@@ -26,7 +26,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from unet3d_tpu.train.step import TrainState, train_step_body
+from unet3d_tpu.train.step import (TrainState, tpu_compiler_options,
+                                   train_step_body)
 
 
 def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
@@ -83,7 +84,8 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
     return jax.jit(train_step_body(model, criterion, tx, amp=amp),
                    in_shardings=(replicated, data_sharded, data_sharded),
                    out_shardings=(replicated, replicated),
-                   donate_argnums=(0,))
+                   donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
 
 
 def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
@@ -125,7 +127,8 @@ def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
 
     return jax.jit(eval_step,
                    in_shardings=(replicated, data_sharded, data_sharded),
-                   out_shardings=replicated)
+                   out_shardings=replicated,
+                   compiler_options=tpu_compiler_options())
 
 
 def ndhwc_batch_spec(mesh: Mesh) -> P:
@@ -153,4 +156,5 @@ def make_sharded_forward(model, mesh: Mesh) -> Callable:
         return out
 
     return jax.jit(forward, in_shardings=(replicated, x_sharded),
-                   out_shardings=x_sharded)
+                   out_shardings=x_sharded,
+                   compiler_options=tpu_compiler_options())

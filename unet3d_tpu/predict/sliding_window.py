@@ -96,7 +96,9 @@ class SlidingWindowInferer:
                     sw_batch_size=self.sw_batch_size, overlap=self.overlap,
                     mode=self.mode, sigma_scale=self.sigma_scale, cval=self.cval)
             # hold a strong ref to network so id() can't be recycled
-            self._jitted[key] = (jax.jit(run), network)
+            from unet3d_tpu.train.step import tpu_compiler_options
+            self._jitted[key] = (
+                jax.jit(run, compiler_options=tpu_compiler_options()), network)
         return self._jitted[key][0](inputs)
 
 

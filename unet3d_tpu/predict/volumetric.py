@@ -60,7 +60,8 @@ def make_forward(model, state: TrainState, use_test: bool = False,
             out = out[0]
         return out.astype(jnp.float32) if amp else out
 
-    plain = jax.jit(forward)
+    from unet3d_tpu.train.step import tpu_compiler_options
+    plain = jax.jit(forward, compiler_options=tpu_compiler_options())
     if mesh is None:
         return plain
 

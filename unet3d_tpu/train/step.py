@@ -9,12 +9,33 @@ with the state donated so parameters update in place in HBM.
 from __future__ import annotations
 
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+
+
+def tpu_compiler_options() -> Optional[dict]:
+    """Default XLA compiler options for TPU step compiles.
+
+    Raising the scoped-VMEM fusion budget from the 16 MiB default to 32 MiB
+    lets XLA build larger elementwise/norm fusions around the convs and saves
+    a measured 3.3 ms/step (129.8 -> 126.5) on the BraTS 128^3 DynUNet train
+    step (tools/flag_sweep.py; 64/96 MiB measure the same but compile slower).
+    Override with UNET3D_TPU_SCOPED_VMEM_KIB; "0" disables. CPU compiles
+    reject TPU options, so the CPU backend always gets None.
+    """
+    kib = os.environ.get("UNET3D_TPU_SCOPED_VMEM_KIB", "32768")
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return None
+    if backend == "cpu" or not kib or kib == "0":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
 
 
 class TrainState(struct.PyTreeNode):
@@ -135,7 +156,7 @@ def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation
     """Build the jitted train step. ``amp`` runs the forward/backward in bfloat16
     with fp32 master params (reference AMP flag, `train/train.py:33-37`)."""
     return jax.jit(train_step_body(model, criterion, tx, amp=amp),
-                   donate_argnums=(0,))
+                   donate_argnums=(0,), compiler_options=tpu_compiler_options())
 
 
 def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = None,
@@ -166,5 +187,6 @@ def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = Non
             y = to_ndhwc(labels) if labels.ndim == 5 else labels
             out = inferer(x, lambda z: forward(state, z))
             return compute_criterion(criterion, out, y)
-        return jax.jit(eval_step_inferer)
-    return jax.jit(eval_step)
+        return jax.jit(eval_step_inferer,
+                       compiler_options=tpu_compiler_options())
+    return jax.jit(eval_step, compiler_options=tpu_compiler_options())
