@@ -74,3 +74,14 @@ def test_build_optimizer_names():
 def test_build_scheduler_error():
     with pytest.raises(ValueError):
         build_scheduler("NoSuchScheduler", 1.0)
+
+
+def test_tpu_compiler_options_gated_off_on_cpu(monkeypatch):
+    """The scoped-VMEM compiler option is TPU-only: CPU compiles reject TPU
+    flags, so on the CPU backend (what this suite runs on) the helper must
+    return None; "0" disables it everywhere."""
+    from unet3d_tpu.train.step import tpu_compiler_options
+
+    assert tpu_compiler_options() is None  # conftest forces the CPU backend
+    monkeypatch.setenv("UNET3D_TPU_SCOPED_VMEM_KIB", "0")
+    assert tpu_compiler_options() is None

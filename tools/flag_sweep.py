@@ -51,13 +51,17 @@ def main():
     body, state0, images, labels = build()
     lowered = jax.jit(body, donate_argnums=(0,)).lower(state0, images, labels)
 
+    BASE = {"xla_tpu_scoped_vmem_limit_kib": "32768"}  # adopted round-2 default
     candidates = [
-        ("default", None),
-        ("vmem=32768", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
-        ("vmem=65536", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
-        ("vmem=98304", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
-        ("vmem=16384", {"xla_tpu_scoped_vmem_limit_kib": "16384"}),
-        ("licm-inflate", {"xla_tpu_licm_size_inflation_ratio": "2.0"}),
+        ("base(vmem32M)", BASE),
+        ("+rwb-fusion-off", {**BASE, "xla_tpu_rwb_fusion": "false"}),
+        ("+no-dot-strength-red", {**BASE, "xla_tpu_enable_dot_strength_reduction": "false"}),
+        ("+aggressive-opt-barrier", {**BASE, "xla_tpu_enable_flash_attention": "false"}),
+        ("+async-sort", {**BASE, "xla_tpu_enable_async_copies": "true"}),
+        ("+vector-fusion-wide", {**BASE, "xla_tpu_vector_load_fusion_window": "2048",
+                                 "xla_tpu_vector_store_fusion_window": "512"}),
+        ("+bundle-cost-model", {**BASE, "xla_tpu_use_bundle_aware_cost_model": "true"}),
+        ("+licm-inflate", {**BASE, "xla_tpu_licm_size_inflation_ratio": "2.0"}),
     ]
     import jax.numpy as jnp
     for name, opts in candidates:
