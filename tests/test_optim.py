@@ -85,3 +85,18 @@ def test_tpu_compiler_options_gated_off_on_cpu(monkeypatch):
     assert tpu_compiler_options() is None  # conftest forces the CPU backend
     monkeypatch.setenv("UNET3D_TPU_SCOPED_VMEM_KIB", "0")
     assert tpu_compiler_options() is None
+
+
+def test_compile_cache_opt_in(monkeypatch, tmp_path):
+    from unet3d_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    monkeypatch.delenv("UNET3D_TPU_COMPILE_CACHE", raising=False)
+    assert maybe_enable_compile_cache() is False
+    cache = tmp_path / "jaxcache"
+    monkeypatch.setenv("UNET3D_TPU_COMPILE_CACHE", str(cache))
+    assert maybe_enable_compile_cache() is True
+    assert cache.is_dir()
+    import jax
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    # restore: don't leak the cache config into other tests
+    jax.config.update("jax_compilation_cache_dir", None)

@@ -98,6 +98,8 @@ def run_inference(config, output_directory, model_filename, group, activation,
 def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    from unet3d_tpu.utils.compile_cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()
     namespace = parse_args()
     logging.info("Config filename: %s", namespace.config_filename)
     config = load_json(namespace.config_filename)

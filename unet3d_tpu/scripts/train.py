@@ -200,6 +200,8 @@ def run(config_filename, output_dir, namespace):
 def main(args=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    from unet3d_tpu.utils.compile_cache import maybe_enable_compile_cache
+    maybe_enable_compile_cache()
     namespace = parse_args(args)
     config_filename = os.path.abspath(namespace.config_filename)
     if namespace.output_dir:
