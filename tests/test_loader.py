@@ -80,3 +80,27 @@ def test_worker_exception_propagates():
     loader = DataLoader(Boom(10), batch_size=1, num_workers=2)
     with pytest.raises(RuntimeError, match="bad sample"):
         list(loader)
+
+
+def test_transfer_dtype_casts_floating_only():
+    """Compact transfer: float batches cast to the wire dtype, integer
+    class-index labels ship untouched."""
+    import ml_dtypes
+    import numpy as np
+
+    from unet3d_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"image": np.ones((1, 4, 4, 4), np.float32),
+                    "label": np.asarray([i], np.int64)}
+
+    loader = DataLoader(DS(), batch_size=1,
+                        transfer_dtype={"image": ml_dtypes.bfloat16,
+                                        "label": ml_dtypes.bfloat16})
+    batch = next(iter(loader))
+    assert batch["image"].dtype == ml_dtypes.bfloat16
+    assert batch["label"].dtype == np.int64  # int labels untouched

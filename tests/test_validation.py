@@ -73,3 +73,40 @@ def test_infer_subject_id():
     fns = ["/data/sub01/t1.nii.gz", "/data/sub02/t1.nii.gz"]
     assert infer_subject_id(fns[0], fns) == "sub01"
     assert infer_subject_id("/x/caseA/img.nii.gz") == "caseA"
+
+
+def test_train_step_accepts_compact_transfer_dtypes():
+    """bf16-shipped images/labels must produce the same AMP step as f32
+    inputs (the step casts to bf16 anyway; 0/1 labels are exact in bf16)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.train.losses import DiceLoss
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.train.step import create_train_state, make_train_step
+
+    model = create_model("UNet", in_channels=2, out_channels=2,
+                         channels=(2, 4), strides=(2,))
+    variables = init_params(model, (8, 8, 8, 2))
+    tx = build_optimizer("Adam", lr=1e-3)
+    step = make_train_step(model, DiceLoss(sigmoid=True), tx, amp=True)
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 2, 8, 8, 8).astype(np.float32)
+    lab = (rng.rand(1, 2, 8, 8, 8) > 0.5).astype(np.float32)
+
+    import jax
+    fresh = lambda: jax.tree_util.tree_map(jnp.copy, variables)
+    s1 = create_train_state(fresh(), tx)
+    _, loss_f32 = step(s1, jnp.asarray(img), jnp.asarray(lab))
+
+    s2 = create_train_state(fresh(), tx)
+    _, loss_bf16 = step(s2, jnp.asarray(img, jnp.bfloat16),
+                        jnp.asarray(lab, jnp.bfloat16))
+    np.testing.assert_allclose(float(loss_f32), float(loss_bf16),
+                               rtol=2e-2)
+
+    s3 = create_train_state(fresh(), tx)
+    _, loss_u8 = step(s3, jnp.asarray(img, jnp.bfloat16),
+                      jnp.asarray(lab.astype(np.uint8)))
+    np.testing.assert_allclose(float(loss_bf16), float(loss_u8), rtol=2e-2)

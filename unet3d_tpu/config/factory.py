@@ -137,11 +137,25 @@ def build_data_loaders_from_config(config, system_config, output_dir, dataset_cl
     validation_kwargs = in_config("validation", config["dataset"], {})
     dataset_kwargs = dataset_kwargs_from_config(config)
 
+    # Under bf16 AMP the jitted step casts inputs to bfloat16 anyway, so the
+    # host can ship batches pre-cast and halve host->device transfer; labels
+    # ride along (0/1 one-hot is exact in bf16; interpolated fractional labels
+    # round at ~3 decimal digits, inside the bf16 loss path's own precision).
+    # training.compact_transfer: true/false overrides the amp-keyed default.
+    amp = bool(in_config("amp", config["training"], False))
+    compact = in_config("compact_transfer", config["training"], None)
+    transfer_dtype = None
+    if compact if compact is not None else amp:
+        import ml_dtypes
+        transfer_dtype = {"image": ml_dtypes.bfloat16,
+                          "label": ml_dtypes.bfloat16}
+
     training_dataset = dataset_class(filenames=config["training_filenames"],
                                      **training_kwargs, **dataset_kwargs)
     training_loader = build_loader(training_dataset, batch_size=batch_size,
                                    shuffle=True, num_workers=n_workers,
-                                   prefetch_factor=prefetch_factor)
+                                   prefetch_factor=prefetch_factor,
+                                   transfer_dtype=transfer_dtype)
 
     if test_input:
         write_dataset_examples(test_input, training_dataset,
@@ -158,7 +172,8 @@ def build_data_loaders_from_config(config, system_config, output_dir, dataset_cl
         validation_loader = build_loader(validation_dataset,
                                          batch_size=validation_batch_size,
                                          shuffle=False, num_workers=n_workers,
-                                         prefetch_factor=prefetch_factor)
+                                         prefetch_factor=prefetch_factor,
+                                         transfer_dtype=transfer_dtype)
     return training_loader, validation_loader, metric_to_monitor
 
 

@@ -48,11 +48,19 @@ def collate_5d_flatten(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 class DataLoader:
-    """Iterates dicts with stacked ``image``/``label`` arrays plus per-item meta."""
+    """Iterates dicts with stacked ``image``/``label`` arrays plus per-item meta.
+
+    ``transfer_dtype`` maps batch keys to numpy dtypes applied after stacking
+    (e.g. ``{"image": ml_dtypes.bfloat16, "label": np.uint8}``) so batches
+    cross the host->device link compact: under bf16 AMP the step casts images
+    to bfloat16 anyway, and one-hot labels are exactly representable in uint8,
+    so shipping f32 wastes 2-4x the transfer bandwidth (PCIe on a TPU VM; the
+    ~35 MB/s tunnel here). The jitted steps upcast on device.
+    """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 1, seed: int = 0, prefetch_factor: int = 2,
-                 drop_last: bool = False):
+                 drop_last: bool = False, transfer_dtype=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -60,7 +68,18 @@ class DataLoader:
         self.seed = seed
         self.prefetch_factor = max(int(prefetch_factor), 1)
         self.drop_last = drop_last
+        self.transfer_dtype = dict(transfer_dtype or {})
         self.epoch = 0
+
+    def _stack(self, samples) -> Dict[str, Any]:
+        batch = _stack_batch(samples)
+        for key, dtype in self.transfer_dtype.items():
+            arr = batch.get(key)
+            # floating only: integer class-index labels must ship untouched
+            if (arr is not None and dtype is not None and arr.dtype != dtype
+                    and np.issubdtype(arr.dtype, np.floating)):
+                batch[key] = arr.astype(dtype)
+        return batch
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -87,7 +106,7 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
         if self.num_workers <= 1:
             for idxs in batches:
-                yield _stack_batch([self.dataset[int(i)] for i in idxs])
+                yield self._stack([self.dataset[int(i)] for i in idxs])
             return
         # Threaded pipeline: samples are produced by a pool, batches assembled
         # in order. Submission is lazy — at most num_workers + prefetch_factor
@@ -118,7 +137,7 @@ class DataLoader:
                         idxs = next(batch_iter, None)
                         if idxs is None:
                             break
-                        pending.append(pool.submit(lambda ii=idxs: _stack_batch(
+                        pending.append(pool.submit(lambda ii=idxs: self._stack(
                             [self.dataset[int(i)] for i in ii])))
                     if not pending:
                         put(("done", None))
@@ -157,10 +176,11 @@ class DataLoader:
 
 def build_loader(dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 1, pin_memory: bool = False,
-                 prefetch_factor: int = 2, seed: int = 0) -> DataLoader:
+                 prefetch_factor: int = 2, seed: int = 0,
+                 transfer_dtype=None) -> DataLoader:
     """Factory with the reference's DataLoader kwarg surface; ``pin_memory`` is
     accepted for parity (host->HBM transfer is handled by the device put)."""
     del pin_memory
     return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
                       num_workers=num_workers, prefetch_factor=prefetch_factor,
-                      seed=seed)
+                      seed=seed, transfer_dtype=transfer_dtype)

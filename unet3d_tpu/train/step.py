@@ -113,8 +113,9 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
         rng, dropout_rng, sample_rng = jax.random.split(state.rng, 3)
         x = to_ndhwc(images)
         y = to_ndhwc(labels) if labels.ndim == 5 else labels
-        if amp:
-            x = x.astype(jnp.bfloat16)
+        if y.dtype in (jnp.uint8, jnp.bfloat16):  # compact-transfer labels
+            y = y.astype(jnp.float32)
+        x = x.astype(jnp.bfloat16 if amp else jnp.float32)
 
         def loss_fn(params):
             p = jax.tree_util.tree_map(
@@ -173,18 +174,25 @@ def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = Non
             variables = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, variables)
+        else:
+            x = x.astype(jnp.float32)
         return model.apply(variables, x, False)  # positional: see train_step_body
 
-    def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+    def _prep(images, labels):
         x = to_ndhwc(images)
         y = to_ndhwc(labels) if labels.ndim == 5 else labels
+        if y.dtype in (jnp.uint8, jnp.bfloat16):  # compact-transfer labels
+            y = y.astype(jnp.float32)
+        return x, y
+
+    def eval_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
+        x, y = _prep(images, labels)
         out = forward(state, x)
         return compute_criterion(criterion, out, y)
 
     if inferer is not None:
         def eval_step_inferer(state, images, labels):
-            x = to_ndhwc(images)
-            y = to_ndhwc(labels) if labels.ndim == 5 else labels
+            x, y = _prep(images, labels)
             out = inferer(x, lambda z: forward(state, z))
             return compute_criterion(criterion, out, y)
         return jax.jit(eval_step_inferer,
