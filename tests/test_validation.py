@@ -110,3 +110,26 @@ def test_train_step_accepts_compact_transfer_dtypes():
     _, loss_u8 = step(s3, jnp.asarray(img, jnp.bfloat16),
                       jnp.asarray(lab.astype(np.uint8)))
     np.testing.assert_allclose(float(loss_bf16), float(loss_u8), rtol=2e-2)
+
+
+def test_first_step_failure_carries_oom_guidance():
+    """An opaque compile/memory failure on the very first step is re-raised
+    with the reference's OOM guidance (doc/FAQ.md)."""
+    import numpy as np
+    import pytest
+
+    from unet3d_tpu.train.train import epoch_training
+
+    class Loader:
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield {"image": np.zeros((1, 1, 8, 8, 8), np.float32),
+                   "label": np.zeros((1, 1, 8, 8, 8), np.float32)}
+
+    def exploding_step(state, images, labels):
+        raise ValueError("RESOURCE_EXHAUSTED: out of memory")
+
+    with pytest.raises(RuntimeError, match="desired_shape"):
+        epoch_training(Loader(), exploding_step, state=None, epoch=1)

@@ -91,7 +91,22 @@ def epoch_training(train_loader, train_step, state: TrainState, epoch: int,
         data_time.update(time.time() - end)
         images = batch["image"]
         labels = batch["label"]
-        state, loss = train_step(state, images, labels)
+        try:
+            state, loss = train_step(state, images, labels)
+        except Exception as error:
+            if i == 0 and epoch <= 1:
+                # first-ever step: compile/memory failures land here; give the
+                # reference's OOM guidance (doc/FAQ.md; ref doc/Configuration.md:99-104)
+                raise RuntimeError(
+                    "The first training step failed to compile or run (input "
+                    f"shape {tuple(images.shape)}). If this is an out-of-memory "
+                    "or compiler failure, reduce the dataset 'desired_shape' in "
+                    "increments of 16 (keep each dim divisible by 2^#downsample "
+                    "levels), set \"remat\": true in the training config to "
+                    "recompute activations in the backward pass, or shard the "
+                    "volume over more chips (--ngpus N)."
+                ) from error
+            raise
         if pending is not None:
             losses.update(float(pending[0]), pending[1])
         pending = (loss, images.shape[0])
