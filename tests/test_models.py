@@ -142,3 +142,30 @@ def test_fastconv_tuple_matches_concat():
     split = mod.apply(v, (a, b))
     cat = mod.apply(v, jnp.concatenate([a, b], axis=-1))
     np.testing.assert_allclose(np.asarray(split), np.asarray(cat), atol=2e-5)
+
+
+def test_dynunet_per_block_remat_matches_plain():
+    """model.remat recomputes block activations in the backward pass; the
+    forward must be bit-identical to the plain model with the same params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet3d_tpu.models.registry import create_model, init_params
+
+    kwargs = dict(in_channels=2, out_channels=2, spatial_dims=3,
+                  strides=[[1, 1, 1], [2, 2, 2]], filters=[4, 8],
+                  kernel_size=[[3, 3, 3]] * 2,
+                  upsample_kernel_size=[[2, 2, 2]])
+    plain = create_model("DynUNet", **kwargs)
+    rem = create_model("DynUNet", remat=True, **kwargs)
+    variables = init_params(plain, (8, 8, 8, 2))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8, 2), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(plain.apply(variables, x)),
+                                  np.asarray(rem.apply(variables, x)))
+    # grads exist and are finite through the remat path
+    def loss(params):
+        return jnp.sum(rem.apply({"params": params}, x) ** 2)
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)

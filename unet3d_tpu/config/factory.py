@@ -216,11 +216,19 @@ def build_or_load_model_from_config(config, model_filename, strict=False, seed=0
     """
     model_cfg = config["model"]
     if remat:
+        import dataclasses
+
         import flax.linen as nn
         from unet3d_tpu.models.registry import _freeze_lists, fetch_model_by_name
         cls = fetch_model_by_name(model_cfg["name"])
-        kwargs = {k: _freeze_lists(v) for k, v in get_kwargs(model_cfg).items()}
-        model = nn.remat(cls, static_argnums=(2,))(**kwargs)
+        if any(f.name == "remat" for f in dataclasses.fields(cls)):
+            # model supports per-block remat: far lower peak HBM than
+            # wrapping the whole module (see models/dynunet.py)
+            model = create_model(model_cfg["name"], remat=True,
+                                 **get_kwargs(model_cfg))
+        else:
+            kwargs = {k: _freeze_lists(v) for k, v in get_kwargs(model_cfg).items()}
+            model = nn.remat(cls, static_argnums=(2,))(**kwargs)
     else:
         model = create_model(model_cfg["name"], **get_kwargs(model_cfg))
     variables = init_params(model, model_input_shape_from_config(config), seed=seed)

@@ -116,6 +116,12 @@ class DynUNet(nn.Module):
     deep_supervision: bool = False
     deep_supr_num: int = 1
     res_block: bool = False
+    # Rematerialize per block: the backward pass recomputes each block's
+    # internal activations from its (stored) input instead of keeping them
+    # live, cutting peak HBM far below whole-model nn.remat while recomputing
+    # less. Framework extension (config `model.remat`); measured on one v5e:
+    # 160^3 batch-1 training fits (OOM without), see PERF.md.
+    remat: bool = False
 
     def _filters(self) -> Tuple[int, ...]:
         if self.filters is not None:
@@ -129,6 +135,10 @@ class DynUNet(nn.Module):
         filters = self._filters()
         n = len(self.strides)
         block = UnetResBlock if self.res_block else UnetBasicBlock
+        up_block = UnetUpBlock
+        if self.remat:
+            block = nn.remat(block)
+            up_block = nn.remat(UnetUpBlock)
 
         skips = []
         x = block(filters[0], self.kernel_size[0], self.strides[0], name="input_block")(x)
@@ -142,9 +152,9 @@ class DynUNet(nn.Module):
 
         heads = []
         for i in range(n - 2, -1, -1):
-            x = UnetUpBlock(filters[i], self.kernel_size[i + 1],
-                            self.upsample_kernel_size[i],
-                            name=f"upsample{n - 2 - i}")(x, skips[i])
+            x = up_block(filters[i], self.kernel_size[i + 1],
+                         self.upsample_kernel_size[i],
+                         name=f"upsample{n - 2 - i}")(x, skips[i])
             if self.deep_supervision and 0 < i <= self.deep_supr_num:
                 heads.append(PointwiseConv(self.out_channels,
                                            name=f"deep_supervision_head{i}")(x))
