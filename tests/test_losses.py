@@ -177,3 +177,30 @@ def test_focal_softmax_alpha_background_weighting():
     base = -t * ((1 - p) ** 2.0) * logp
     alpha_fac = np.asarray([1 - alpha, alpha, alpha], np.float32)
     np.testing.assert_allclose(out, (alpha_fac * base).mean(), rtol=1e-4)
+
+
+def test_generalized_dice_empty_class_uses_per_sample_max():
+    """MONAI replaces an empty class's inf weight with that SAMPLE's max
+    finite weight; using the global batch max changes the loss whenever
+    another sample has much larger weights."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet3d_tpu.train.losses import GeneralizedDiceLoss
+
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.rand(2, 4, 4, 4, 2), jnp.float32)
+    target = np.zeros((2, 4, 4, 4, 2), np.float32)
+    # sample 0: class 0 moderate foreground, class 1 EMPTY
+    target[0, :2, :2, :2, 0] = 1.0
+    # sample 1: tiny foreground in both classes -> huge weights
+    target[1, 0, 0, 0, 0] = 1.0
+    target[1, 0, 0, 1, 1] = 1.0
+    loss_batched = GeneralizedDiceLoss(reduction="none")(
+        pred, jnp.asarray(target))
+    # per-sample semantics: each sample alone must give the same loss
+    for i in range(2):
+        alone = GeneralizedDiceLoss(reduction="none")(
+            pred[i:i + 1], jnp.asarray(target[i:i + 1]))
+        np.testing.assert_allclose(np.asarray(loss_batched)[i],
+                                   np.asarray(alone)[0], rtol=1e-6)

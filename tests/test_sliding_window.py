@@ -160,3 +160,27 @@ def test_inferer_caches_compiled_program_across_calls():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(x) * 2.0,
                                rtol=1e-6)
+
+
+def test_grid_padding_does_not_bias_blend():
+    """When n_patches % sw_batch_size != 0 the grid pads by repeating the last
+    window; padded entries must be masked out of the blend, not double-counted.
+    A per-window-constant network makes overlapping windows disagree, which
+    exposes any duplicate-window bias (a pointwise network cannot)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from unet3d_tpu.predict.sliding_window import sliding_window_inference
+
+    def network(x):  # output = the window's own mean, everywhere
+        return jnp.broadcast_to(
+            jnp.mean(x, axis=(1, 2, 3), keepdims=True), x.shape)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 20, 12, 12, 1),
+                    jnp.float32)
+    ref = sliding_window_inference(x, network, roi_size=(8, 8, 8),
+                                   sw_batch_size=1, overlap=0.5)
+    # grid is 4x2x2 = 16 windows; sw=3 pads to 18 (2 duplicates)
+    out = sliding_window_inference(x, network, roi_size=(8, 8, 8),
+                                   sw_batch_size=3, overlap=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -69,7 +69,7 @@ def run_step(trace: bool = True, n_warm: int = 2, n_prof: int = 3):
 
 def categorize(name: str) -> str:
     n = name.lower()
-    if "convolution" in n or "conv" in n and "fusion" not in n:
+    if ("convolution" in n or "conv" in n) and "fusion" not in n:
         return "conv"
     if n.startswith("copy") or "transpose" in n or "reshape" in n:
         return "copy/transpose"

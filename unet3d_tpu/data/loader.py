@@ -146,6 +146,9 @@ class DataLoader:
                     try:
                         item = ("ok", fut.result())
                     except Exception as error:  # propagate to the consumer
+                        for f in pending:  # don't wait on queued batches
+                            f.cancel()
+                        pending.clear()
                         put(("error", error))
                         return
                     if not put(item):

@@ -159,16 +159,19 @@ class UNETR(nn.Module):
             n = z.shape[0]
             return z.reshape(n, *grid, self.hidden_size)
 
+        # MONAI taps hidden_states_out[3]/[6]/[9] — the outputs of blocks
+        # 4/7/10 — i.e. states[tap]/[2*tap]/[3*tap] here (states[i] is the
+        # output of 0-indexed block i)
         tap = self.num_layers // 4
         fs = self.feature_size
         block = UnetResBlock if self.res_block else UnetBasicBlock
         enc1 = block(fs, 3, 1, name="encoder1")(x)
         enc2 = UnetrPrUpBlock(fs * 2, num_layer=2, res_block=self.res_block,
-                              name="encoder2")(proj(states[tap - 1]), train)
+                              name="encoder2")(proj(states[tap]), train)
         enc3 = UnetrPrUpBlock(fs * 4, num_layer=1, res_block=self.res_block,
-                              name="encoder3")(proj(states[2 * tap - 1]), train)
+                              name="encoder3")(proj(states[2 * tap]), train)
         enc4 = UnetrPrUpBlock(fs * 8, num_layer=0, res_block=self.res_block,
-                              name="encoder4")(proj(states[3 * tap - 1]), train)
+                              name="encoder4")(proj(states[3 * tap]), train)
         dec4 = proj(seq)
         dec3 = UnetrUpBlock(fs * 8, res_block=self.res_block,
                             name="decoder5")(dec4, enc4)

@@ -101,7 +101,10 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
     if _ENV_STRATEGY == "pallas":
         from unet3d_tpu.ops.pallas.conv3d_kernel import (pallas_conv3d,
                                                          pallas_conv3d_available)
-        if pallas_conv3d_available(x.shape, w.shape, stride, padding):
+        # normalize explicit-SAME pads so the opt-in stays reachable now that
+        # FastConv lowers "SAME" to explicit pairs
+        if pallas_conv3d_available(x.shape, w.shape, stride,
+                                   "SAME" if same_padding else padding):
             return pallas_conv3d(x, w)
     eligible = (stride == (1, 1, 1) and same_padding
                 and w.shape[0] % 2 == 1 and w.shape[0] > 1)

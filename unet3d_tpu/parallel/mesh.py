@@ -99,7 +99,7 @@ def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
     """
     import jax.numpy as jnp
 
-    from unet3d_tpu.train.step import compute_criterion, to_ndhwc
+    from unet3d_tpu.train.step import amp_cast, compute_criterion, to_ndhwc
 
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, batch_spec(mesh))
@@ -107,10 +107,7 @@ def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
     def forward(state: TrainState, x):
         variables = {"params": state.params, **state.extra_variables}
         if amp:
-            x = x.astype(jnp.bfloat16)
-            variables = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, variables)
+            variables, x = amp_cast(variables, x)
         return model.apply(variables, x, False)
 
     def eval_step(state: TrainState, images, labels):

@@ -131,10 +131,16 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
     starts = dense_patch_slices(padded_spatial, roi_size, interval)  # (P, 3)
     n_patches = starts.shape[0]
     pad_to = int(np.ceil(n_patches / sw_batch_size)) * sw_batch_size
+    # grid padding repeats the last window to fill the final group; padded
+    # entries are masked out of BOTH accumulators below (a duplicated window
+    # would otherwise bias the weighted blend toward it in overlap regions)
+    valid = np.ones((pad_to,), np.float32)
     if pad_to != n_patches:
         starts = np.concatenate([starts,
                                  np.repeat(starts[-1:], pad_to - n_patches, axis=0)])
+        valid[n_patches:] = 0.0
     starts_groups = jnp.asarray(starts.reshape(-1, sw_batch_size, 3))
+    valid_groups = jnp.asarray(valid.reshape(-1, sw_batch_size))
 
     if mode == "gaussian":
         importance = jnp.asarray(gaussian_importance_map(roi_size, sigma_scale))
@@ -149,8 +155,9 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
 
     sw = int(starts_groups.shape[1])
 
-    def scan_body(carry, group_starts):
+    def scan_body(carry, group):
         out_sum, weight_sum = carry
+        group_starts, group_valid = group
         # Stack sw_batch_size windows into ONE network call (MONAI semantics:
         # better MXU utilization for small ROIs than one window at a time).
         patches = jax.vmap(gather_window)(group_starts)  # (sw, B, *roi, C)
@@ -160,22 +167,23 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
 
         def scatter_add(c, start_out):
             o_sum, w_sum = c
-            start, out = start_out
+            start, out, v = start_out
             o_sum = jax.lax.dynamic_update_slice(
                 o_sum, jax.lax.dynamic_slice(
-                    o_sum, (0, start[0], start[1], start[2], 0), out.shape) + out,
+                    o_sum, (0, start[0], start[1], start[2], 0),
+                    out.shape) + out * v,
                 (0, start[0], start[1], start[2], 0))
             w_sum = jax.lax.dynamic_update_slice(
                 w_sum, jax.lax.dynamic_slice(
-                    w_sum, (0, start[0], start[1], start[2], 0), imp.shape) + imp,
+                    w_sum, (0, start[0], start[1], start[2], 0),
+                    imp.shape) + imp * v,
                 (0, start[0], start[1], start[2], 0))
             return (o_sum, w_sum), None
 
-        # note: grid padding repeats the last window; it adds equally to both
-        # out_sum and weight_sum, so the blended output is unchanged.
         (out_sum, weight_sum), _ = jax.lax.scan(scatter_add,
                                                 (out_sum, weight_sum),
-                                                (group_starts, outs))
+                                                (group_starts, outs,
+                                                 group_valid))
         return (out_sum, weight_sum), None
 
     out_channels = jax.eval_shape(
@@ -185,7 +193,7 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
     out_sum = jnp.zeros((batch,) + tuple(padded_spatial) + (out_channels,), jnp.float32)
     weight_sum = jnp.zeros((1,) + tuple(padded_spatial) + (1,), jnp.float32)
     (out_sum, weight_sum), _ = jax.lax.scan(scan_body, (out_sum, weight_sum),
-                                            starts_groups)
+                                            (starts_groups, valid_groups))
     out = out_sum / weight_sum
     # remove padding
     slices = tuple(slice(p[0], p[0] + s) for p, s in zip(pads[1:4], spatial))

@@ -45,9 +45,8 @@ def make_forward(model, state: TrainState, use_test: bool = False,
         # cast once here, NOT inside forward: the sliding-window inferer calls
         # forward inside a lax.scan, where a per-call cast would re-run for
         # every window
-        base_variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, base_variables)
+        from unet3d_tpu.train.step import amp_cast
+        base_variables = amp_cast(base_variables)
 
     def forward(x: jnp.ndarray) -> jnp.ndarray:
         if amp:

@@ -122,9 +122,11 @@ class GeneralizedDiceLoss:
             w = jnp.ones_like(ground)
         else:  # square
             w = jnp.reciprocal(ground * ground)
-        # Empty classes get w=inf; MONAI replaces inf with the max finite
-        # weight so absent classes don't dominate the loss.
-        w = jnp.where(jnp.isinf(w), jnp.max(jnp.where(jnp.isinf(w), 0.0, w)), w)
+        # Empty classes get w=inf; MONAI replaces inf with the PER-SAMPLE max
+        # finite weight (max over the class axis, not the whole batch) so
+        # absent classes don't dominate the loss.
+        finite = jnp.where(jnp.isinf(w), 0.0, w)
+        w = jnp.where(jnp.isinf(w), jnp.max(finite, axis=-1, keepdims=True), w)
         class_axis = -1  # remaining axis after reduction is channels (maybe + batch)
         numer = 2.0 * jnp.sum(intersection * w, axis=class_axis) + self.smooth_nr
         denom = jnp.sum((ground + prediction) * w, axis=class_axis) + self.smooth_dr

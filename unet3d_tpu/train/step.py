@@ -62,6 +62,18 @@ def set_state_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
 
+def amp_cast(variables, x: Optional[jnp.ndarray] = None):
+    """bf16 AMP cast shared by every inference-style forward (eval, sharded
+    eval, predict): bf16 copies of f32 leaves (+ bf16 input when given);
+    master params stay f32 wherever the caller keeps them."""
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
+    if x is None:
+        return variables
+    return variables, x.astype(jnp.bfloat16)
+
+
 def to_ndhwc(x: jnp.ndarray) -> jnp.ndarray:
     """(B, C, D, H, W) host layout -> (B, D, H, W, C) device layout."""
     return jnp.transpose(x, (0, 2, 3, 4, 1))
@@ -170,10 +182,7 @@ def make_eval_step(model, criterion: Callable, inferer: Optional[Callable] = Non
     def forward(state: TrainState, x: jnp.ndarray):
         variables = {"params": state.params, **state.extra_variables}
         if amp:
-            x = x.astype(jnp.bfloat16)
-            variables = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, variables)
+            variables, x = amp_cast(variables, x)
         else:
             x = x.astype(jnp.float32)
         return model.apply(variables, x, False)  # positional: see train_step_body
