@@ -330,3 +330,42 @@ def test_swin_shifted_window_mask_blocks_cross_region_attention():
     assert (mask < 0).any()
     for wi in range(mask.shape[0]):
         assert np.all(np.diag(mask[wi]) == 0)
+
+
+def test_segresnet_deconv_mode_is_trainable():
+    """upsample_mode='deconv' must build transposed-conv weights (MONAI
+    UpSample DECONV), not silently fall back to interpolation."""
+    import jax
+    import numpy as np
+
+    from unet3d_tpu.models.registry import create_model, init_params
+
+    m = create_model("SegResNet", in_channels=1, out_channels=2,
+                     init_filters=4, blocks_down=(1, 1), blocks_up=(1,),
+                     upsample_mode="deconv")
+    v = init_params(m, (8, 8, 8, 1))
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    names = ["/".join(str(k) for k in path) for path, _ in flat]
+    assert any("deconv" in n for n in names), names
+    import pytest
+    with pytest.raises(NotImplementedError):
+        m2 = create_model("SegResNet", in_channels=1, out_channels=2,
+                          init_filters=4, blocks_down=(1, 1), blocks_up=(1,),
+                          upsample_mode="pixelshuffle")
+        init_params(m2, (8, 8, 8, 1))
+
+
+def test_segresnetvae_short_blocks_up_raises():
+    """The VAE branch reconstructs the input, so blocks_up must mirror the
+    encoder; a short decoder fails fast with an instructive error instead of
+    crashing mid-trace with a shape mismatch."""
+    import pytest
+
+    from unet3d_tpu.models.registry import init_params
+    from unet3d_tpu.models.segresnet import SegResNetVAE
+
+    m = SegResNetVAE(input_image_size=(16, 16, 16), in_channels=1,
+                     out_channels=2, init_filters=4,
+                     blocks_down=(1, 1, 1), blocks_up=(1,))
+    with pytest.raises(ValueError, match="blocks_up"):
+        init_params(m, (16, 16, 16, 1))

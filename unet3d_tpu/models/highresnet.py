@@ -40,9 +40,11 @@ class HighResBlock(nn.Module):
                         kernel_dilation=(self.dilation,) * 3, padding="SAME",
                         use_bias=False, name=f"conv{i}")(y)
         if identity.shape[-1] != self.features:
-            # channel_matching="pad": zero-pad the identity's channels
+            # channel_matching="pad": MONAI's ChannelPad splits the zero
+            # padding symmetrically (half before, half after the channels)
+            total = self.features - identity.shape[-1]
             identity = jnp.pad(identity, [(0, 0)] * (identity.ndim - 1)
-                               + [(0, self.features - identity.shape[-1])])
+                               + [(total // 2, total - total // 2)])
         return y + identity
 
 
@@ -69,5 +71,7 @@ class HighResNet(nn.Module):
         x = _bn("bn_1", train)(x)
         x = nn.relu(x)
         if self.dropout_prob:
-            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+            # MONAI's Dropout factory with spatial_dims=3 -> Dropout3d
+            x = nn.Dropout(self.dropout_prob, broadcast_dims=(1, 2, 3),
+                           deterministic=not train)(x)
         return nn.Conv(self.out_channels, (1, 1, 1), name="conv_2")(x)

@@ -29,8 +29,28 @@ import jax
 import jax.numpy as jnp
 
 from unet3d_tpu.models.layers import (MyronenkoResidualBlock, conv1, conv3,
-                                      group_norm_groups)
+                                      group_norm_groups, transposed_conv)
 from unet3d_tpu.ops.interpolate import resize_ndhwc
+
+
+def _make_upsample2x(channels: int, mode: str, name: str):
+    """2x upsampler per MONAI UpSample semantics: 'nontrainable' -> trilinear
+    interpolation; 'deconv' -> kernel-2 stride-2 transposed conv (trainable);
+    'pixelshuffle' is not implemented (fail fast, never silently swap)."""
+    if mode == "deconv":
+        module = transposed_conv(channels, 2, 2, name=name)
+        return lambda h: module(h)
+    if mode in ("nontrainable", "trilinear", "nearest"):
+        interp = "nearest" if mode == "nearest" else "trilinear"
+        return lambda h: resize_ndhwc(
+            h, tuple(2 * s for s in h.shape[1:4]), mode=interp)
+    raise NotImplementedError(
+        f"SegResNet upsample_mode={mode!r} is not supported here "
+        "(supported: nontrainable, deconv)")
+
+
+def _upsample2x(h, mode: str, name: str):
+    return _make_upsample2x(h.shape[-1], mode, name)(h)
 
 
 class SegResNet(nn.Module):
@@ -52,8 +72,9 @@ class SegResNet(nn.Module):
             raise NotImplementedError("unet3d_tpu SegResNet is 3D")
         x = conv3(self.init_filters, 3, 1, name="convInit")(x)
         if self.dropout_prob is not None:
-            x = nn.Dropout(rate=self.dropout_prob, deterministic=not train,
-                           name="dropout")(x)
+            # MONAI uses Dropout3d here: whole-channel dropout
+            x = nn.Dropout(rate=self.dropout_prob, broadcast_dims=(1, 2, 3),
+                           deterministic=not train, name="dropout")(x)
 
         skips = []
         for i, n_blocks in enumerate(self.blocks_down):
@@ -69,10 +90,7 @@ class SegResNet(nn.Module):
         for i, n_blocks in enumerate(self.blocks_up):
             width = x.shape[-1] // 2
             x = conv1(width, name=f"up{i}_conv")(x)
-            d, h, w = x.shape[1:4]
-            x = resize_ndhwc(x, (2 * d, 2 * h, 2 * w),
-                             mode="trilinear" if self.upsample_mode
-                             in ("nontrainable", "trilinear") else "nearest")
+            x = _upsample2x(x, self.upsample_mode, name=f"up{i}_deconv")
             x = x + up_skips[i]
             for b in range(n_blocks):
                 x = MyronenkoResidualBlock(width, norm_groups=self.norm_groups,
@@ -120,11 +138,17 @@ class SegResNetVAE(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         if self.spatial_dims != 3:
             raise NotImplementedError("unet3d_tpu SegResNetVAE is 3D")
+        if len(self.blocks_up) != len(self.blocks_down) - 1:
+            raise ValueError(
+                "SegResNetVAE needs len(blocks_up) == len(blocks_down) - 1 so "
+                "the VAE branch reconstructs at the input resolution; got "
+                f"blocks_up={self.blocks_up} for blocks_down={self.blocks_down}")
         net_input = x
         x = conv3(self.init_filters, 3, 1, name="convInit")(x)
         if self.dropout_prob is not None:
-            x = nn.Dropout(rate=self.dropout_prob, deterministic=not train,
-                           name="dropout")(x)
+            # MONAI uses Dropout3d here: whole-channel dropout
+            x = nn.Dropout(rate=self.dropout_prob, broadcast_dims=(1, 2, 3),
+                           deterministic=not train, name="dropout")(x)
 
         skips = []
         for i, n_blocks in enumerate(self.blocks_down):
@@ -139,26 +163,26 @@ class SegResNetVAE(nn.Module):
 
         # decoder modules are created once and replayed (weight-shared) by the
         # VAE branch, matching MONAI's reuse of up_samples/up_layers
-        up_convs, up_blocks = [], []
+        up_convs, up_blocks, up_samplers = [], [], []
         bottom_width = self.init_filters * (2 ** (len(self.blocks_down) - 1))
         for i, n_blocks in enumerate(self.blocks_up):
             width = bottom_width // (2 ** (i + 1))
             up_convs.append(conv1(width, name=f"up{i}_conv"))
+            up_samplers.append(_make_upsample2x(width, self.upsample_mode,
+                                                name=f"up{i}_deconv"))
             up_blocks.append([
                 MyronenkoResidualBlock(width, norm_groups=self.norm_groups,
                                        name=f"up{i}_block{b}")
                 for b in range(n_blocks)])
 
-        mode = ("trilinear" if self.upsample_mode in ("nontrainable", "trilinear")
-                else "nearest")
-
         def run_decoder(h, use_skips: bool):
             for i in range(len(self.blocks_up)):
                 h = up_convs[i](h)
-                d, hh, w = h.shape[1:4]
-                h = resize_ndhwc(h, (2 * d, 2 * hh, 2 * w), mode=mode)
+                h = up_samplers[i](h)
                 if use_skips:
-                    h = h + skips[len(self.blocks_up) - 1 - i]
+                    # mirror of the down path: up step i consumes the skip
+                    # from encoder level len(blocks_down)-2-i (MONAI down_x[i+1])
+                    h = h + skips[len(self.blocks_down) - 2 - i]
                 for blk in up_blocks[i]:
                     h = blk(h)
             return h
@@ -201,8 +225,8 @@ class SegResNetVAE(nn.Module):
         r = nn.relu(nn.Dense(total, name="vae_fc3")(z))
         r = r.reshape((r.shape[0],) + tuple(fc_insize) + (self.smallest_filters,))
         r = conv1(bottom_width, name="vae_fc_up_conv")(r)
-        d, hh, w = r.shape[1:4]
-        r = resize_ndhwc(r, (2 * d, 2 * hh, 2 * w), mode=mode)
+        r = _make_upsample2x(bottom_width, self.upsample_mode,
+                             name="vae_fc_upsample")(r)
         r = run_decoder(r, use_skips=False)
         recon = conv1(self.in_channels, name="vae_conv_final")(r)
         mse = jnp.mean((recon.astype(jnp.float32)

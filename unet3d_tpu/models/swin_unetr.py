@@ -86,9 +86,11 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: Tuple[int, int, int]
     qkv_bias: bool = True
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask=None,
+                 train: bool = False) -> jnp.ndarray:
         bw, nvol, c = x.shape
         head_dim = self.dim // self.num_heads
         ws = self.window_size
@@ -110,7 +112,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bw, self.num_heads, nvol, nvol)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(bw, nvol, c)
-        return nn.Dense(self.dim, name="proj")(y)
+        y = nn.Dense(self.dim, name="proj")(y)
+        # MONAI routes drop_rate to the attention output projection too
+        return nn.Dropout(self.dropout_rate, deterministic=not train)(y)
 
 
 class SwinTransformerBlock(nn.Module):
@@ -140,7 +144,9 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
         win = _window_partition(y, ws)
-        win = WindowAttention(c, self.num_heads, ws, name="attn")(win, mask)
+        win = WindowAttention(c, self.num_heads, ws,
+                              dropout_rate=self.dropout_rate,
+                              name="attn")(win, mask, train)
         y = _window_reverse(win, ws, dims)
         if any(shift):
             y = jnp.roll(y, shift, axis=(1, 2, 3))
@@ -158,7 +164,11 @@ class SwinTransformerBlock(nn.Module):
 
 
 class PatchMerging(nn.Module):
-    """2x2x2 neighborhood concat -> LayerNorm -> linear to 2*dim."""
+    """2x2x2 neighborhood concat -> LayerNorm -> linear to 2*dim.
+
+    This is MONAI's ``PatchMergingV2`` (all 8 distinct octants, the
+    recommended ``downsample="mergingv2"``); MONAI's legacy v1 default
+    duplicates two octants and omits two — intentionally not replicated."""
     dim: int
 
     @nn.compact
@@ -190,6 +200,7 @@ class SwinUNETR(nn.Module):
     spatial_dims: int = 3
     norm_name: str = "instance"
     use_checkpoint: bool = False
+    normalize: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -208,6 +219,7 @@ class SwinUNETR(nn.Module):
         p = _triple(self.patch_size)
         h = nn.Conv(self.feature_size, p, strides=p, padding="VALID",
                     name="patch_embed")(x)
+        h = nn.Dropout(self.drop_rate, deterministic=not train)(h)  # pos_drop
         hidden = [h]
         dim = self.feature_size
         for stage, depth in enumerate(self.depths):
@@ -220,6 +232,15 @@ class SwinUNETR(nn.Module):
             dim *= 2
             hidden.append(h)
         # hidden: [/2 f, /4 2f, /8 4f, /16 8f, /32 16f]
+        if self.normalize:
+            # MONAI proj_out: parameterless channel layer_norm on every
+            # tapped state before the conv decoder (normalize=True default)
+            def tap(hh):
+                mean = jnp.mean(hh.astype(jnp.float32), axis=-1, keepdims=True)
+                var = jnp.var(hh.astype(jnp.float32), axis=-1, keepdims=True)
+                return ((hh.astype(jnp.float32) - mean)
+                        * jax.lax.rsqrt(var + 1e-5)).astype(hh.dtype)
+            hidden = [tap(hh) for hh in hidden]
 
         f = self.feature_size
         enc0 = UnetResBlock(f, name="encoder1")(x_in)

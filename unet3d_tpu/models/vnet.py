@@ -47,10 +47,12 @@ class LUConv(nn.Module):
     """5-cubed conv + BN + act (MONAI vnet.LUConv)."""
     features: int
     act: str = "elu"
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = FastConv(self.features, (5, 5, 5), use_bias=True, name="conv")(x)
+        x = FastConv(self.features, (5, 5, 5), use_bias=self.use_bias,
+                     name="conv")(x)
         x = _bn("bn", train)(x)
         return _act(self.act, x)
 
@@ -58,11 +60,13 @@ class LUConv(nn.Module):
 class InputTransition(nn.Module):
     out_channels: int = 16
     act: str = "elu"
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        y = FastConv(self.out_channels, (5, 5, 5), name="conv")(x)
+        y = FastConv(self.out_channels, (5, 5, 5), use_bias=self.use_bias,
+                     name="conv")(x)
         y = _bn("bn", train)(y)
         # repeat the input across channels to 16 (MONAI InputTransition)
         reps = self.out_channels // in_ch
@@ -78,18 +82,23 @@ class DownTransition(nn.Module):
     n_convs: int
     dropout: Optional[float] = None
     act: str = "elu"
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         down = nn.Conv(self.out_channels, (2, 2, 2), strides=(2, 2, 2),
-                       padding="VALID", name="down_conv")(x)
+                       padding="VALID", use_bias=self.use_bias,
+                       name="down_conv")(x)
         down = _bn("bn", train)(down)
         down = _act(self.act, down)
         y = down
         if self.dropout is not None:
-            y = nn.Dropout(self.dropout, deterministic=not train)(y)
+            # MONAI dropout_dim=3 -> Dropout3d: whole-channel dropout
+            y = nn.Dropout(self.dropout, broadcast_dims=(1, 2, 3),
+                           deterministic=not train)(y)
         for i in range(self.n_convs):
-            y = LUConv(self.out_channels, self.act, name=f"conv{i}")(y, train)
+            y = LUConv(self.out_channels, self.act, self.use_bias,
+                       name=f"conv{i}")(y, train)
         return _act(self.act, y + down)
 
 
@@ -98,32 +107,40 @@ class UpTransition(nn.Module):
     n_convs: int
     dropout: Optional[float] = None
     act: str = "elu"
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         if self.dropout is not None:
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        skip = nn.Dropout(0.5, deterministic=not train)(skip)
-        up = transposed_conv(self.out_channels // 2, 2, 2, name="up_conv")(x)
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2, 3),
+                           deterministic=not train)(x)
+        skip = nn.Dropout(0.5, broadcast_dims=(1, 2, 3),
+                          deterministic=not train)(skip)
+        up = transposed_conv(self.out_channels // 2, 2, 2,
+                             use_bias=self.use_bias, name="up_conv")(x)
         up = _bn("bn", train)(up)
         up = _act(self.act, up)
         xcat = jnp.concatenate([up, skip], axis=-1)
         y = xcat
         for i in range(self.n_convs):
-            y = LUConv(self.out_channels, self.act, name=f"conv{i}")(y, train)
+            y = LUConv(self.out_channels, self.act, self.use_bias,
+                       name=f"conv{i}")(y, train)
         return _act(self.act, y + xcat)
 
 
 class OutputTransition(nn.Module):
     out_channels: int
     act: str = "elu"
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = FastConv(self.out_channels, (5, 5, 5), name="conv")(x)
+        y = FastConv(self.out_channels, (5, 5, 5), use_bias=self.use_bias,
+                     name="conv")(x)
         y = _bn("bn", train)(y)
         y = _act(self.act, y)
+        # MONAI's final pointwise conv2 keeps its (default) bias
         return conv1(self.out_channels, name="conv2")(y)
 
 
@@ -134,7 +151,7 @@ class VNet(nn.Module):
     out_channels: int = 1
     act: str = "elu"
     dropout_prob: float = 0.5
-    bias: bool = False  # accepted for config parity; convs carry bias as MONAI's do
+    bias: bool = False  # MONAI default: bias-free convs ahead of BatchNorm
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -143,18 +160,23 @@ class VNet(nn.Module):
         if 16 % x.shape[-1] != 0:
             raise ValueError("VNet requires in_channels dividing 16, got "
                              f"{x.shape[-1]}")
-        x16 = InputTransition(16, self.act, name="in_tr")(x, train)
-        d32 = DownTransition(32, 1, act=self.act, name="down_tr32")(x16, train)
-        d64 = DownTransition(64, 2, act=self.act, name="down_tr64")(d32, train)
+        b = self.bias
+        x16 = InputTransition(16, self.act, b, name="in_tr")(x, train)
+        d32 = DownTransition(32, 1, act=self.act, use_bias=b,
+                             name="down_tr32")(x16, train)
+        d64 = DownTransition(64, 2, act=self.act, use_bias=b,
+                             name="down_tr64")(d32, train)
         d128 = DownTransition(128, 3, dropout=self.dropout_prob, act=self.act,
-                              name="down_tr128")(d64, train)
+                              use_bias=b, name="down_tr128")(d64, train)
         d256 = DownTransition(256, 2, dropout=self.dropout_prob, act=self.act,
-                              name="down_tr256")(d128, train)
+                              use_bias=b, name="down_tr256")(d128, train)
         u256 = UpTransition(256, 2, dropout=self.dropout_prob, act=self.act,
-                            name="up_tr256")(d256, d128, train)
+                            use_bias=b, name="up_tr256")(d256, d128, train)
         u128 = UpTransition(128, 2, dropout=self.dropout_prob, act=self.act,
-                            name="up_tr128")(u256, d64, train)
-        u64 = UpTransition(64, 1, act=self.act, name="up_tr64")(u128, d32, train)
-        u32 = UpTransition(32, 1, act=self.act, name="up_tr32")(u64, x16, train)
-        return OutputTransition(self.out_channels, self.act,
+                            use_bias=b, name="up_tr128")(u256, d64, train)
+        u64 = UpTransition(64, 1, act=self.act, use_bias=b,
+                           name="up_tr64")(u128, d32, train)
+        u32 = UpTransition(32, 1, act=self.act, use_bias=b,
+                           name="up_tr32")(u64, x16, train)
+        return OutputTransition(self.out_channels, self.act, b,
                                 name="out_tr")(u32, train)

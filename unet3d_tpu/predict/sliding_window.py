@@ -88,6 +88,13 @@ class SlidingWindowInferer:
         # which defeats the compile cache — on the remote-compile TPU path
         # that recompiled the whole window scan per case (measured 113 s/case
         # vs 0.9 s compiled). jax.jit keys the rest on input shape.
+        if isinstance(inputs, jax.core.Tracer):
+            # already under an outer jit (eval-with-inferer): nesting another
+            # jit would re-trace anyway and compiler_options reject nesting
+            return sliding_window_inference(
+                inputs, network, roi_size=self.roi_size,
+                sw_batch_size=self.sw_batch_size, overlap=self.overlap,
+                mode=self.mode, sigma_scale=self.sigma_scale, cval=self.cval)
         key = id(network)
         if key not in self._jitted:
             def run(x, _network=network):

@@ -60,7 +60,12 @@ def make_forward(model, state: TrainState, use_test: bool = False,
         return out.astype(jnp.float32) if amp else out
 
     from unet3d_tpu.train.step import tpu_compiler_options
-    plain = jax.jit(forward, compiler_options=tpu_compiler_options())
+    jitted = jax.jit(forward, compiler_options=tpu_compiler_options())
+
+    def plain(x):
+        # under an outer jit (e.g. the sliding-window inferer's program) call
+        # the body directly: nested jit + compiler_options is rejected
+        return forward(x) if isinstance(x, jax.core.Tracer) else jitted(x)
     if mesh is None:
         return plain
 
