@@ -76,3 +76,69 @@ def test_rotate_deterministic_given_rng():
     a, _ = t(np.random.RandomState(7), img, lbl)
     b, _ = t(np.random.RandomState(7), img, lbl)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rand_rotate_tuple_range_is_min_max():
+    """MONAI: range_x=(a, b) samples U(a, b); a scalar samples U(-r, r).
+    Regression: tuple ranges collapsed to U(-a, a), silently disabling
+    rotation for (0, b) configs."""
+    import numpy as np
+
+    from unet3d_tpu.data.transforms import RandRotateD
+
+    t = RandRotateD(prob=1.0, range_x=(0.2, 0.3))
+    assert t.ranges[0] == (0.2, 0.3)
+    assert t.ranges[1] == (0.0, 0.0)
+    rng = np.random.RandomState(0)
+    img = np.random.RandomState(1).rand(1, 8, 8, 8).astype(np.float32)
+    out, _ = t(rng, img, None)
+    assert not np.allclose(np.asarray(out), img)  # rotation actually applied
+
+
+def test_rand_affine_scalar_range_first_axis_only():
+    """MONAI RandAffined: a scalar rotate_range applies to the FIRST axis
+    only (ensure_tuple), not broadcast to all three."""
+    from unet3d_tpu.data.transforms import RandAffineD
+
+    t = RandAffineD(prob=1.0, rotate_range=0.26)
+    assert t.rotate_range[0] == (-0.26, 0.26)
+    assert t.rotate_range[1] == (0.0, 0.0)
+    assert t.rotate_range[2] == (0.0, 0.0)
+
+
+def test_rand_affine_shear_is_applied():
+    import numpy as np
+
+    from unet3d_tpu.data.transforms import RandAffineD
+
+    t = RandAffineD(prob=1.0, shear_range=[0.3, 0.3])
+    img = np.random.RandomState(1).rand(1, 8, 8, 8).astype(np.float32)
+    out, _ = t(np.random.RandomState(0), img, None)
+    assert not np.allclose(np.asarray(out), img)
+
+
+def test_rand_zoom_out_pads_with_edge_values():
+    """MONAI RandZoomd keep_size pads zoom-out with edge values, not zeros."""
+    import numpy as np
+
+    from unet3d_tpu.data.transforms import RandZoomD
+
+    t = RandZoomD(prob=1.0, min_zoom=0.5, max_zoom=0.5)
+    img = np.full((1, 8, 8, 8), 7.0, np.float32)
+    out, _ = t(np.random.RandomState(0), img, None)
+    # a zero-filled border would pull corner values toward 0
+    assert float(np.asarray(out).min()) > 6.9
+
+
+def test_pad_or_crop_center_matches_monai_convention():
+    """CenterSpatialCrop starts at s//2 - t//2 (one voxel later than (s-t)//2
+    when s is even and t odd)."""
+    import numpy as np
+
+    from unet3d_tpu.ops.crop import pad_or_crop
+
+    arr = np.arange(4, dtype=np.float32).reshape(1, 4, 1, 1)
+    arr = np.broadcast_to(arr, (1, 4, 4, 4)).copy()
+    out = pad_or_crop(arr, (3, 4, 4))
+    # s=4, t=3: start = 4//2 - 3//2 = 1 -> values 1, 2, 3
+    np.testing.assert_array_equal(out[0, :, 0, 0], [1.0, 2.0, 3.0])

@@ -40,6 +40,31 @@ def _triple_range(value) -> Tuple[float, float, float]:
     return out + (0.0,) * (3 - len(out))
 
 
+def _range_pair(value) -> Tuple[float, float]:
+    """MONAI range semantics for one parameter: scalar r -> U(-r, r);
+    pair (a, b) -> U(a, b)."""
+    if value is None:
+        return (0.0, 0.0)
+    if isinstance(value, (int, float)):
+        return (-float(value), float(value))
+    vals = [float(v) for v in value]
+    if len(vals) == 1:
+        return (-vals[0], vals[0])
+    return (vals[0], vals[1])
+
+
+def _param_ranges(value, n: int):
+    """MONAI RandAffine range semantics: a SCALAR applies to the first
+    parameter only (remaining parameters stay 0); a sequence maps per
+    parameter, each element scalar r -> U(-r, r) or pair (a, b) -> U(a, b)."""
+    if value is None:
+        value = ()
+    if isinstance(value, (int, float)):
+        value = (float(value),)
+    pairs = [_range_pair(v) for v in tuple(value)[:n]]
+    return pairs + [(0.0, 0.0)] * (n - len(pairs))
+
+
 def _center_transform(matrix: np.ndarray, shape: Sequence[int]) -> np.ndarray:
     """Lift a 3x3 voxel-space linear map to a 4x4 transform about the volume center."""
     center = (np.asarray(shape, dtype=np.float64) - 1.0) / 2.0
@@ -49,14 +74,21 @@ def _center_transform(matrix: np.ndarray, shape: Sequence[int]) -> np.ndarray:
     return t
 
 
-def _apply_spatial(image, label, transform: np.ndarray, mode: str, label_mode: str):
-    """dst-voxel -> src-voxel resample of image (+label) with a shared transform."""
+def _apply_spatial(image, label, transform: np.ndarray, mode: str, label_mode: str,
+                   clip_to_edge: bool = False):
+    """dst-voxel -> src-voxel resample of image (+label) with a shared transform.
+
+    ``clip_to_edge`` clamps source coordinates to the volume (border/edge
+    padding instead of zero fill)."""
     tr = jnp.asarray(transform)
     shape = tuple(image.shape[-3:])
-    image = resample_transform(jnp.asarray(image), tr, shape, mode=mode)
+    clip = (jnp.asarray([s - 1 for s in shape], jnp.float32)
+            if clip_to_edge else None)
+    image = resample_transform(jnp.asarray(image), tr, shape, mode=mode,
+                               clip_max=clip)
     if label is not None:
         label = resample_transform(jnp.asarray(label, dtype=jnp.float32), tr, shape,
-                                   mode=label_mode)
+                                   mode=label_mode, clip_max=clip)
     return image, label
 
 
@@ -123,8 +155,9 @@ class RandRotateD(Transform):
                  mode: str = "bilinear", label_mode: Optional[str] = None,
                  keep_size: bool = True):
         self.prob = prob
-        self.ranges = (_triple_range(range_x)[0], _triple_range(range_y)[0],
-                       _triple_range(range_z)[0])
+        # MONAI: scalar r -> U(-r, r); pair (a, b) -> U(a, b) per axis
+        self.ranges = (_range_pair(range_x), _range_pair(range_y),
+                       _range_pair(range_z))
         self.mode = "trilinear" if mode == "bilinear" else mode
         self.label_mode = label_mode or self.mode
         del keep_size  # always keep size (MONAI default)
@@ -132,7 +165,8 @@ class RandRotateD(Transform):
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
-        angles = [rng.uniform(-r, r) if r else 0.0 for r in self.ranges]
+        angles = [rng.uniform(lo, hi) if hi > lo else lo
+                  for lo, hi in self.ranges]
         rot = _rotation_matrix(angles)
         # dst->src mapping is the inverse rotation
         transform = _center_transform(rot.T, image.shape[-3:])
@@ -157,7 +191,10 @@ class RandZoomD(Transform):
             return image, label
         zoom = rng.uniform(self.min_zoom, self.max_zoom)
         transform = _center_transform(np.eye(3) / zoom, image.shape[-3:])
-        return _apply_spatial(image, label, transform, self.mode, self.label_mode)
+        # MONAI keep_size pads zoomed-out volumes with EDGE values, not zeros:
+        # clamping source coords to the volume reproduces that border behavior
+        return _apply_spatial(image, label, transform, self.mode,
+                              self.label_mode, clip_to_edge=True)
 
 
 class RandAffineD(Transform):
@@ -168,20 +205,30 @@ class RandAffineD(Transform):
                  translate_range=0.0, shear_range=0.0, mode: str = "bilinear",
                  label_mode: Optional[str] = None, padding_mode: str = "zeros"):
         self.prob = prob
-        self.rotate_range = _triple_range(rotate_range)
-        self.scale_range = _triple_range(scale_range)
-        self.translate_range = _triple_range(translate_range)
-        self.shear_range = _triple_range(shear_range)
+        # MONAI semantics: scalar range -> FIRST parameter only; sequences map
+        # per parameter with scalar -> U(-r, r), pair -> U(a, b)
+        self.rotate_range = _param_ranges(rotate_range, 3)
+        self.scale_range = _param_ranges(scale_range, 3)
+        self.translate_range = _param_ranges(translate_range, 3)
+        self.shear_range = _param_ranges(shear_range, 6)
         self.mode = "trilinear" if mode == "bilinear" else mode
         self.label_mode = label_mode or self.mode
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
-        angles = [rng.uniform(-r, r) if r else 0.0 for r in self.rotate_range]
-        scales = [1.0 + (rng.uniform(-r, r) if r else 0.0) for r in self.scale_range]
-        trans = [rng.uniform(-r, r) if r else 0.0 for r in self.translate_range]
-        fwd = _rotation_matrix(angles) @ np.diag(scales)
+        sample = lambda pairs: [rng.uniform(lo, hi) if hi > lo else lo
+                                for lo, hi in pairs]
+        angles = sample(self.rotate_range)
+        scales = [1.0 + v for v in sample(self.scale_range)]
+        trans = sample(self.translate_range)
+        sh = sample(self.shear_range)
+        # MONAI create_shear (3D): [[1, s0, s1], [s2, 1, s3], [s4, s5, 1]];
+        # grid composition order rotate @ shear @ scale (translation separate)
+        shear = np.array([[1.0, sh[0], sh[1]],
+                          [sh[2], 1.0, sh[3]],
+                          [sh[4], sh[5], 1.0]])
+        fwd = _rotation_matrix(angles) @ shear @ np.diag(scales)
         transform = _center_transform(np.linalg.inv(fwd), image.shape[-3:])
         transform[:3, 3] -= np.asarray(trans)
         return _apply_spatial(image, label, transform, self.mode, self.label_mode)

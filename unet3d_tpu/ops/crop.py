@@ -127,8 +127,10 @@ def pad_or_crop(data, target_shape: Sequence[int], affine: Optional[np.ndarray] 
     arr = np.asarray(data)
     spatial = arr.shape[-3:]
     target = tuple(int(t) for t in target_shape)
-    # Crop first where too big
-    crop_start = [max((s - t) // 2, 0) for s, t in zip(spatial, target)]
+    # Crop first where too big. MONAI CenterSpatialCrop starts at
+    # s//2 - t//2 (center minus half-roi), NOT (s-t)//2 — they differ by one
+    # voxel when s is even and t is odd.
+    crop_start = [max(s // 2 - t // 2, 0) for s, t in zip(spatial, target)]
     slices = tuple(slice(cs, cs + min(s, t))
                    for cs, s, t in zip(crop_start, spatial, target))
     arr = arr[(slice(None),) * (arr.ndim - 3) + slices]

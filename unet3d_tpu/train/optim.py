@@ -66,9 +66,16 @@ def build_optimizer(optimizer_name: str, lr: float = 1e-3, **kwargs) -> optax.Gr
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Write a new LR into an inject_hyperparams optimizer state."""
-    opt_state.hyperparams["learning_rate"] = lr
-    return opt_state
+    """Return a copy of an inject_hyperparams state with a new LR.
+
+    Copy-on-write: mutating ``hyperparams`` in place would alias every
+    TrainState sharing this opt_state (the trainer's
+    `train.step.set_state_learning_rate` follows the same pattern)."""
+    import jax.numpy as jnp
+
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state._replace(hyperparams=hyperparams)
 
 
 def get_learning_rate(opt_state) -> float:
