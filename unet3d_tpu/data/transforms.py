@@ -289,8 +289,14 @@ def gaussian_kernel1d(sigma: float, truncated: float = 4.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def separable_gaussian_blur(image: Array, sigmas: Sequence[float]) -> Array:
-    """Separable gaussian blur of a channel-first volume (replicate padding)."""
+def separable_gaussian_blur(image: Array, sigmas: Sequence[float],
+                            pad_mode: str = "edge") -> Array:
+    """Separable gaussian blur of a channel-first volume.
+
+    ``pad_mode``: "edge" (replicate, the MONAI GaussianSmooth analog) or
+    "zero" (scipy ``gaussian_filter(mode="constant")`` parity, used by the
+    elastic-deformation field).
+    """
     out = jnp.asarray(image, dtype=jnp.float32)
     for axis, sigma in enumerate(sigmas):
         if sigma <= 0:
@@ -300,7 +306,8 @@ def separable_gaussian_blur(image: Array, sigmas: Sequence[float]) -> Array:
         ax = axis + 1
         pads = [(0, 0)] * out.ndim
         pads[ax] = (r, r)
-        padded = jnp.pad(out, pads, mode="edge")
+        padded = jnp.pad(out, pads,
+                         mode="edge" if pad_mode == "edge" else "constant")
         acc = jnp.zeros_like(out)
         for i in range(len(k)):
             sl = [slice(None)] * out.ndim

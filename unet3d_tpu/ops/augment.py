@@ -11,6 +11,7 @@ numpy RandomState instead of global RNG.
 """
 from __future__ import annotations
 
+import functools as _functools
 import random as _random
 from typing import Iterable, Optional, Sequence, Tuple
 
@@ -98,8 +99,18 @@ def translate_image(data, affine: np.ndarray, translation_scales,
                                mode=interpolation))
 
 
-def affine_swap_axis(affine: np.ndarray, shape, axis: int = 0) -> np.ndarray:
-    """Flip one axis in affine space (`augment.py:429-434`, from MONAI Flip)."""
+def affine_swap_axis(affine: np.ndarray, shape, axis: int = 1) -> np.ndarray:
+    """Flip one DATA axis (channel-first: 1..3 spatial) in affine space
+    (`augment.py:429-434`, from MONAI Flip).
+
+    The reference's default ``axis=0`` maps to ``sp=-1`` and corrupts the
+    homogeneous row (both tuple assignments land on ``mat[-1,-1]``); here the
+    channel axis is rejected instead.
+    """
+    if axis < 1:
+        raise ValueError(
+            "affine_swap_axis flips data axes 1..3 (channel-first spatial); "
+            f"axis={axis} would index the affine's homogeneous row")
     affine = np.asarray(affine, dtype=np.float64)
     mat = np.eye(len(affine))
     sp = axis - 1
@@ -216,8 +227,14 @@ def generate_permutation_keys():
     return set(keys)
 
 
+@_functools.lru_cache(maxsize=1)
+def _sorted_permutation_keys():
+    return tuple(sorted(generate_permutation_keys()))
+
+
 def random_permutation_key(rng=None) -> Key:
-    keys = sorted(generate_permutation_keys())
+    # cached: regenerating the 48-key group per draw cost ~64 array ops
+    keys = _sorted_permutation_keys()
     if rng is not None:
         return keys[rng.randint(len(keys))]
     return _random.choice(keys)
@@ -281,8 +298,11 @@ def elastic_transform(image, alpha: float, sigma: float, target_image,
 
     def displacement():
         field = (rng.rand(*spatial).astype(np.float32) * 2.0 - 1.0)
+        # reference: gaussian_filter(..., mode="constant", cval=0) — zero
+        # padding attenuates the displacement toward the volume boundary
         smoothed = separable_gaussian_blur(jnp.asarray(field[None]),
-                                           (sigma, sigma, sigma))[0]
+                                           (sigma, sigma, sigma),
+                                           pad_mode="zero")[0]
         return smoothed * alpha
 
     dz, dy, dx = displacement(), displacement(), displacement()
@@ -291,10 +311,12 @@ def elastic_transform(image, alpha: float, sigma: float, target_image,
                               jnp.arange(spatial[2], dtype=jnp.float32),
                               indexing="ij")
     coords = jnp.stack([gz + dz, gy + dy, gx + dx])
-    # reflect boundary handling (map_coordinates mode='reflect')
+    # scipy map_coordinates mode='reflect' = half-sample symmetric: reflect
+    # about -0.5 and s-0.5 (NOT whole-sample 'mirror' about the end pixels)
     for i, s in enumerate(spatial):
-        c = jnp.abs(coords[i])
-        c = jnp.where(c > s - 1, 2 * (s - 1) - c, c)
+        c = coords[i]
+        c = jnp.where(c < 0, -1.0 - c, c)
+        c = jnp.where(c > s - 1, 2.0 * s - 1.0 - c, c)
         coords = coords.at[i].set(jnp.clip(c, 0, s - 1))
     warped = np.asarray(sample_at_coords(jnp.asarray(image), coords))
     warped_target = np.asarray(sample_at_coords(jnp.asarray(target_image), coords))

@@ -166,12 +166,19 @@ def zero_one_window(data: jnp.ndarray, ceiling_percentile: float = 99,
         n_fg = jnp.sum(mask)
         vals = jnp.where(mask, chan, jnp.inf).ravel()
         vals = jnp.sort(vals)
-        # index of the percentile within the foreground values (linear interpolation)
-        pos = (ceiling_percentile / 100.0) * (n_fg - 1)
+        # index of the percentile within the foreground values (linear
+        # interpolation). Degenerate cases would otherwise produce NaN from
+        # inf sentinels (0*inf when frac==0 with vals[hi]=inf; inf-inf when
+        # the channel has no foreground at all):
+        pos = (ceiling_percentile / 100.0) * jnp.maximum(n_fg - 1, 0)
         lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, vals.size - 1)
         hi = jnp.clip(lo + 1, 0, vals.size - 1)
         frac = pos - lo
-        ceiling_threshold = vals[lo] * (1 - frac) + vals[hi] * frac
+        ceiling_threshold = jnp.where(
+            frac > 0, vals[lo] * (1 - frac) + vals[hi] * frac, vals[lo])
+        # no foreground above the floor: window to the channel max instead
+        ceiling_threshold = jnp.where(jnp.isfinite(ceiling_threshold),
+                                      ceiling_threshold, jnp.max(chan))
         out.append(window_data(chan, floor_threshold[c, 0, 0, 0], ceiling_threshold,
                                floor=floor, ceiling=ceiling))
     return jnp.stack(out)
@@ -180,16 +187,19 @@ def zero_one_window(data: jnp.ndarray, ceiling_percentile: float = 99,
 def hist_match(source: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     """Histogram matching via empirical CDF interpolation.
 
-    Parity: `unet3d/utils/normalize.py:145-185` (sort-based equivalent of the
-    unique-value CDF construction; identical output for continuous-valued images).
+    Parity: `unet3d/utils/normalize.py:145-185`. The reference builds the CDF
+    over UNIQUE source values (cumsum of counts), so tied voxels share one
+    quantile; searchsorted(side="right") reproduces exactly that (rank-based
+    argsort(argsort) would spread ties across the tie's quantile range).
     """
     source = jnp.asarray(source, dtype=jnp.float32)
     template = jnp.asarray(template, dtype=jnp.float32)
     shape = source.shape
     src = source.ravel()
     tmpl = jnp.sort(template.ravel())
-    ranks = jnp.argsort(jnp.argsort(src))
-    s_quantiles = (ranks + 1).astype(jnp.float32) / src.size
+    sorted_src = jnp.sort(src)
+    s_quantiles = jnp.searchsorted(sorted_src, src,
+                                   side="right").astype(jnp.float32) / src.size
     t_quantiles = jnp.arange(1, tmpl.size + 1, dtype=jnp.float32) / tmpl.size
     matched = jnp.interp(s_quantiles, t_quantiles, tmpl)
     return matched.reshape(shape)

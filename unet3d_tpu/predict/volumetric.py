@@ -37,8 +37,10 @@ def make_forward(model, state: TrainState, use_test: bool = False,
     inference analog of the training AMP flag / the reference's fp16 prediction
     cast (`unet3d/predict/volumetric.py:73-74`).
     """
-    supports_test = use_test and "test" in getattr(
-        model.__call__, "__wrapped__", model.__call__).__code__.co_varnames
+    code = getattr(model.__call__, "__wrapped__", model.__call__).__code__
+    # parameters only — co_varnames also lists locals, which falsely matched
+    n_params = code.co_argcount + code.co_kwonlyargcount
+    supports_test = use_test and "test" in code.co_varnames[:n_params]
 
     base_variables = {"params": state.params, **state.extra_variables}
     if amp:
@@ -131,7 +133,10 @@ def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir:
     if mesh is not None:
         from unet3d_tpu.parallel.mesh import replicate_state
         state = replicate_state(state, mesh)
-    forward = make_forward(model, state, use_test=True, mesh=mesh, amp=amp)
+    # the reference's volumetric path always calls model(x) — its `test`
+    # forward variant belongs to the batch-predict helpers only
+    # (`unet3d/predict/volumetric.py:148-150` vs `predict/utils.py:40-50`)
+    forward = make_forward(model, state, use_test=False, mesh=mesh, amp=amp)
     written: List[str] = []
     for batch in dataloader:
         for key in ("image", "affine", "source_filename"):
