@@ -104,3 +104,29 @@ def test_sharded_forward_matches_single_device():
     out = fwd(state_r, xs)
     # halo-exchange accumulation order differs slightly from single-device
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_train_step_accepts_rank2_labels():
+    """Classification targets (B, C) must shard over the mesh too — a fixed
+    rank-5 label PartitionSpec rejected them at jit time."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.parallel.mesh import make_mesh, make_sharded_train_step, replicate_state
+    from unet3d_tpu.train.losses import load_criterion
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.train.step import create_train_state
+
+    model = create_model("resnet_18", n_outputs=3, n_features=1)
+    variables = init_params(model, (8, 8, 8, 1))
+    tx = build_optimizer("Adam", lr=1e-3)
+    state = create_train_state(variables, tx)
+    mesh = make_mesh({"data": 2})
+    state = replicate_state(state, mesh)
+    step = make_sharded_train_step(model, load_criterion("MSELoss"), tx, mesh)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 1, 8, 8, 8), jnp.float32)
+    labels = jnp.asarray(rng.rand(2, 3), jnp.float32)  # rank-2 targets
+    state, loss = step(state, images, labels)
+    assert np.isfinite(float(loss))

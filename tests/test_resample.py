@@ -137,3 +137,17 @@ def test_resize_ndhwc_nearest_matches_torch():
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)
+
+
+def test_bucketed_nearest_exact_matches_resize():
+    """nearest-exact in the bucketed path must use the +0.5 center shift like
+    resize(); the legacy-nearest floor formula is one voxel off."""
+    import numpy as np
+
+    from unet3d_tpu.ops.resample import resize, resize_bucketed
+
+    data = np.arange(4 * 4 * 4, dtype=np.float32).reshape(1, 4, 4, 4)
+    ref = np.asarray(resize(data, (2, 2, 2), mode="nearest-exact"))
+    out = np.asarray(resize_bucketed(data, (4, 4, 4), (2, 2, 2),
+                                     mode="nearest-exact", granularity=4))
+    np.testing.assert_array_equal(out, ref)

@@ -9,6 +9,7 @@ intensity scaling, and both-endian support.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
@@ -92,7 +93,12 @@ def header_affine(hdr: NiftiHeader) -> np.ndarray:
         return affine
     if hdr.qform_code > 0:
         return _quaternion_to_affine(hdr)
-    affine = np.diag(list(hdr.pixdim[1:4]) + [1.0])
+    # both codes 0: nibabel's base affine centers the volume on the world
+    # origin (origin = -(shape-1)/2 * zooms), not at voxel (0,0,0)
+    zooms = np.asarray(hdr.pixdim[1:4], dtype=np.float64)
+    affine = np.diag(list(zooms) + [1.0])
+    shape3 = (list(hdr.shape) + [1, 1, 1])[:3]
+    affine[:3, 3] = -(np.asarray(shape3, dtype=np.float64) - 1.0) / 2.0 * zooms
     return affine
 
 
@@ -162,13 +168,38 @@ def load(filename: str, scale: bool = True, prefer_native: bool = False
     dtype = np.dtype(_DTYPES[hdr.datatype]).newbyteorder(hdr.endian)
     shape = hdr.shape
     count = int(np.prod(shape)) if shape else 0
-    offset = int(hdr.vox_offset)
-    data = np.frombuffer(raw, dtype=dtype, count=count, offset=offset)
+    if raw[344:348] == _MAGIC_PAIR:
+        # two-file ("ni1") pair: voxels live in the sibling .img, where
+        # vox_offset is relative to that file (commonly 0)
+        base = str(filename)
+        for ext in (".hdr.gz", ".hdr"):
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+                break
+        img_name = None
+        for cand in (base + ".img", base + ".img.gz"):
+            if os.path.exists(cand):
+                img_name = cand
+                break
+        if img_name is None:
+            raise FileNotFoundError(
+                f"NIfTI pair {filename}: sibling .img/.img.gz not found")
+        with _open_maybe_gz(img_name, "rb") as f:
+            raw_img = f.read()
+        data = np.frombuffer(raw_img, dtype=dtype, count=count,
+                             offset=int(hdr.vox_offset))
+    else:
+        data = np.frombuffer(raw, dtype=dtype, count=count,
+                             offset=int(hdr.vox_offset))
     # NIfTI data is Fortran-ordered over (i, j, k, t, ...)
     data = data.reshape(shape, order="F")
     if data.dtype.byteorder not in ("=", "|") and hdr.endian == ">":
         data = data.astype(data.dtype.newbyteorder("="))
-    if scale and hdr.scl_slope not in (0.0, 1.0) or (scale and hdr.scl_inter != 0.0 and hdr.scl_slope != 0.0):
+    # NaN/inf slope or inter = "no scaling" (nibabel get_slope_inter)
+    slope_ok = np.isfinite(hdr.scl_slope) and hdr.scl_slope not in (0.0, 1.0)
+    inter_ok = (np.isfinite(hdr.scl_inter) and hdr.scl_inter != 0.0
+                and np.isfinite(hdr.scl_slope) and hdr.scl_slope != 0.0)
+    if scale and (slope_ok or inter_ok):
         data = data.astype(np.float32) * hdr.scl_slope + hdr.scl_inter
     return np.asarray(data), header_affine(hdr), hdr
 

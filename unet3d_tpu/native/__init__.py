@@ -104,8 +104,11 @@ def load_nifti(filename: str, scale: bool = True
         data = flat.view(dtype).reshape(shape, order="F")
         slope = lib.nifti_scl_slope(handle)
         inter = lib.nifti_scl_inter(handle)
-        if scale and slope not in (0.0, 1.0) or (scale and inter != 0.0
-                                                 and slope != 0.0):
+        # NaN/inf slope or inter = "no scaling" (nibabel get_slope_inter)
+        slope_ok = np.isfinite(slope) and slope not in (0.0, 1.0)
+        inter_ok = (np.isfinite(inter) and inter != 0.0
+                    and np.isfinite(slope) and slope != 0.0)
+        if scale and (slope_ok or inter_ok):
             data = data.astype(np.float32) * slope + inter
         affine_buf = (ctypes.c_double * 16)()
         lib.nifti_affine(handle, affine_buf)

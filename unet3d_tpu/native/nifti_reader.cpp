@@ -224,9 +224,15 @@ void nifti_affine(const NiftiVolume* vol, double* out) {
         for (int r = 0; r < 3; ++r) out[r * 4 + 3] = h.qoffset[r];
         return;
     }
+    // both codes 0: nibabel base affine centers the volume on the world
+    // origin (matches the Python codec's header_affine fallback)
     out[0] = h.pixdim[1];
     out[5] = h.pixdim[2];
     out[10] = h.pixdim[3];
+    for (int r = 0; r < 3; ++r) {
+        double extent = h.dim[0] > r ? (double)(h.dim[r + 1] - 1) : 0.0;
+        out[r * 4 + 3] = -extent / 2.0 * h.pixdim[r + 1];
+    }
 }
 
 }  // extern "C"

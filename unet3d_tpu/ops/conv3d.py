@@ -36,7 +36,12 @@ def conv3d_xla(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int],
 
 
 def conv3d_decomp2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Stride-1 SAME k-cubed conv as kD depth-shifted 2D convs (exact rewrite).
+    """Stride-1 SAME k-cubed conv as kD depth-shifted 2D convs.
+
+    Exact in f32. In bf16 each depth-tap's partial sum is rounded to bf16
+    before the cross-tap add (XLA's single conv3d accumulates all taps in f32
+    and rounds once), so AMP outputs differ from the XLA path at bf16 rounding
+    magnitude — within AMP training noise, but not bit-exact.
 
     Output voxel o[d] = sum_dz conv2d(x[d + dz - r], w[dz]); folding D into the
     batch turns each tap into one large 2D conv, then the partial sums are
@@ -106,8 +111,11 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
         if pallas_conv3d_available(x.shape, w.shape, stride,
                                    "SAME" if same_padding else padding):
             return pallas_conv3d(x, w)
+    # ALL kernel dims must be odd: the 2D taps pad H/W via "SAME", which for
+    # an even kernel pads (0, 1) instead of the symmetric (k//2, k//2) the
+    # explicit-pad contract promises
     eligible = (stride == (1, 1, 1) and same_padding
-                and w.shape[0] % 2 == 1 and w.shape[0] > 1)
+                and all(k % 2 == 1 for k in w.shape[:3]) and w.shape[0] > 1)
     if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas"):
         return conv3d_decomp2d(x, w)
     return conv3d_xla(x, w, stride, padding)

@@ -152,11 +152,14 @@ def resize_bucketed(data, true_shape, out_shape: tuple, mode: str = "trilinear",
     ts = jnp.asarray(true_shape, jnp.float32)
     os_ = jnp.asarray(out_shape, jnp.float32)
     if mode in _NEAREST_MODES:
-        # torch legacy nearest: src = floor(v * in/out)
+        # torch legacy nearest: src = floor(v * in/out);
+        # nearest-exact: src = floor((v + 0.5) * in/out) = floor(v*s + 0.5*s)
         scale = ts / os_
         transform = jnp.zeros((4, 4)).at[3, 3].set(1.0)
         for i in range(3):
             transform = transform.at[i, i].set(scale[i])
+            if mode == "nearest-exact":
+                transform = transform.at[i, 3].set(0.5 * scale[i])
         out = resample_transform(jnp.asarray(padded), transform, out_shape,
                                  mode="nearest_floor", clip_max=ts - 1)
         return out
@@ -256,6 +259,8 @@ def resample_image_to_spacing(data, affine, new_spacing, mode: str = "trilinear"
     current_spacing = affine_ops.get_spacing_from_affine(affine)
     new_affine = affine_ops.adjust_affine_spacing(affine, new_spacing, spacing=current_spacing)
     extent = affine_ops.get_extent_from_shape(data.shape, affine)
-    new_shape = tuple(int(s) for s in np.floor(extent / new_spacing + 1e-7))
+    # reference adds exactly float64 eps (`unet3d/utils/resample.py:33-35`)
+    new_shape = tuple(int(s) for s in
+                      np.floor(extent / new_spacing + np.finfo(np.float64).eps))
     out = resample(data, affine, new_affine, new_shape, mode=mode)
     return out, new_affine

@@ -57,6 +57,16 @@ def batch_spec(mesh: Mesh) -> P:
     return P(data, None, space, None, None)
 
 
+def label_spec(mesh: Mesh, ndim: int):
+    """Batch sharding for labels of any rank: rank-5 volumes shard like
+    images; lower ranks (class indices/targets) shard the batch axis only.
+    A fixed rank-5 spec would make jit reject rank-2/4 labels outright."""
+    if ndim == 5:
+        return batch_spec(mesh)
+    data = "data" if "data" in mesh.axis_names else None
+    return P(*((data,) + (None,) * (ndim - 1)))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch with the mesh's batch sharding."""
     sharding = NamedSharding(mesh, batch_spec(mesh))
@@ -81,11 +91,22 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
     """
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, batch_spec(mesh))
-    return jax.jit(train_step_body(model, criterion, tx, amp=amp),
-                   in_shardings=(replicated, data_sharded, data_sharded),
-                   out_shardings=(replicated, replicated),
-                   donate_argnums=(0,),
-                   compiler_options=tpu_compiler_options())
+    body = train_step_body(model, criterion, tx, amp=amp)
+    jitted = {}  # keyed by label rank: the label sharding depends on it
+
+    def step(state, images, labels):
+        ndim = labels.ndim
+        if ndim not in jitted:
+            y_sharded = NamedSharding(mesh, label_spec(mesh, ndim))
+            jitted[ndim] = jax.jit(
+                body,
+                in_shardings=(replicated, data_sharded, y_sharded),
+                out_shardings=(replicated, replicated),
+                donate_argnums=(0,),
+                compiler_options=tpu_compiler_options())
+        return jitted[ndim](state, images, labels)
+
+    return step
 
 
 def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
@@ -122,10 +143,20 @@ def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
         out = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
         return compute_criterion(criterion, out, y.astype(jnp.float32))
 
-    return jax.jit(eval_step,
-                   in_shardings=(replicated, data_sharded, data_sharded),
-                   out_shardings=replicated,
-                   compiler_options=tpu_compiler_options())
+    jitted = {}  # keyed by label rank, as in make_sharded_train_step
+
+    def step(state, images, labels):
+        ndim = labels.ndim
+        if ndim not in jitted:
+            y_sharded = NamedSharding(mesh, label_spec(mesh, ndim))
+            jitted[ndim] = jax.jit(
+                eval_step,
+                in_shardings=(replicated, data_sharded, y_sharded),
+                out_shardings=replicated,
+                compiler_options=tpu_compiler_options())
+        return jitted[ndim](state, images, labels)
+
+    return step
 
 
 def ndhwc_batch_spec(mesh: Mesh) -> P:
