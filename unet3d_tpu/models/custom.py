@@ -17,6 +17,7 @@ import numpy as np
 
 from unet3d_tpu.models.myronenko import MyronenkoEncoder
 from unet3d_tpu.models.decoder import MyronenkoDecoder
+from unet3d_tpu.models.layers import conv1
 from unet3d_tpu.models.resnet import BasicBlock, ResNet
 from unet3d_tpu.models.variational import MyronenkoVariationalLayer
 from unet3d_tpu.ops.interpolate import upsample_ndhwc
@@ -38,8 +39,7 @@ class BasicDecoder(nn.Module):
         planes = self.in_planes
         for li, n_blocks in enumerate(self.layers):
             planes = int(planes / self.plane_dilation)
-            x = nn.Conv(planes, (1, 1, 1), padding="VALID", use_bias=False,
-                        name=f"conv1_{li}")(x)
+            x = conv1(planes, use_bias=False, name=f"conv1_{li}")(x)
             x = upsample_ndhwc(x, self.upsampling_scale, self.upsampling_mode,
                                align_corners=False)
             for bi in range(n_blocks):
@@ -153,8 +153,8 @@ class RegularizedResNet(nn.Module):
                              feature_reduction_scale=self.feature_dilation,
                              upsampling_mode=self.interpolation_mode,
                              name="decoder")(y, train=train)
-        vae_output = nn.Conv(self.n_features, (1, 1, 1), padding="VALID",
-                             name="final_convolution")(y)
+        vae_output = conv1(self.n_features, use_bias=False,
+                           name="final_convolution")(y)
         return output, vae_output, mu, logvar
 
 
@@ -185,8 +185,8 @@ class RegularizedBasicResNet(nn.Module):
                          upsampling_mode=self.upsampling_mode,
                          upsampling_scale=self.upsampling_scale,
                          name="decoder")(y, train=train)
-        y = nn.Conv(self.n_features, (1, 1, 1), padding="VALID", use_bias=False,
-                    name="final_convolution")(y)
+        y = conv1(self.n_features, use_bias=False,
+                  name="final_convolution")(y)
         return out, y
 
 

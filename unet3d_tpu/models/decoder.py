@@ -21,12 +21,25 @@ from unet3d_tpu.ops.interpolate import upsample_ndhwc
 
 
 def _center_pad_to(x: jnp.ndarray, target_spatial: Tuple[int, int, int]) -> jnp.ndarray:
-    """Center-pad NDHWC spatial dims up to ``target_spatial`` (F.pad at `unet.py:38-41`)."""
+    """Center pad-or-crop NDHWC spatial dims to ``target_spatial``.
+
+    Reference ``F.pad`` (`unet.py:38-41`) accepts NEGATIVE pads, which crop —
+    hit when interpolation upsampling overshoots an odd-sized skip (e.g. skip
+    7 vs upsampled 8); jnp.pad would raise, so cropping is applied first."""
+    slices = [slice(None)]
     pads = [(0, 0)]
     for s, t in zip(x.shape[1:4], target_spatial):
         diff = t - s
-        pads.append((diff // 2, diff - diff // 2))
+        if diff < 0:  # crop: F.pad negative semantics (end-biased split)
+            lo = (-diff) // 2
+            slices.append(slice(lo, lo + t))
+            pads.append((0, 0))
+        else:
+            slices.append(slice(None))
+            pads.append((diff // 2, diff - diff // 2))
+    slices.append(slice(None))
     pads.append((0, 0))
+    x = x[tuple(slices)]
     if any(p != (0, 0) for p in pads):
         x = jnp.pad(x, pads)
     return x
@@ -80,7 +93,7 @@ class MirroredDecoder(nn.Module):
                     x = transposed_conv(out_width, self.kernel_size,
                                         self.upsampling_scale, name=f"up{i}")(x)
                 else:
-                    x = conv1(out_width, name=f"pre{i}")(x)
+                    x = conv1(out_width, use_bias=False, name=f"pre{i}")(x)
                     x = upsample_ndhwc(x, self.upsampling_scale, self.upsampling_mode,
                                        self.align_corners)
                 if inputs is not None:
@@ -126,7 +139,7 @@ class MyronenkoDecoder(nn.Module):
                 x = transposed_conv(out_width, self.kernel_size,
                                     self.upsampling_scale, name=f"up{i}")(x)
             else:
-                x = conv1(out_width, name=f"pre{i}")(x)
+                x = conv1(out_width, use_bias=False, name=f"pre{i}")(x)
                 x = upsample_ndhwc(x, self.upsampling_scale, self.upsampling_mode,
                                    self.align_corners)
             x = MyronenkoLayer(n_blocks=n_blocks, planes=out_width,

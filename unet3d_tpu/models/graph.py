@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +26,10 @@ from unet3d_tpu.models.resnet import resnet_18
 def faces_to_adjacency_matrix(n_vertices: int, faces: np.ndarray) -> np.ndarray:
     """Row-normalized vertex adjacency (with self-loops) from triangle faces.
 
-    Parity: `graph/utils.py:15-27`.
+    Fixed-on-purpose vs `graph/utils.py:15-27`: the reference builds its
+    sparse adjacency with ZERO values (its GCN output degenerates to the
+    bias — a reference bug); here edges are 1 with self-loops and row
+    normalization, the standard GCN adjacency.
     """
     adj = np.zeros((n_vertices, n_vertices), dtype=np.float32)
     for a, b, c in np.asarray(faces, dtype=np.int64):
@@ -66,6 +70,13 @@ def load_surface(surface_filename: str) -> Tuple[np.ndarray, np.ndarray]:
     return vertices.T, adjacency  # (3, V) like the reference's ref_vertices
 
 
+def _centered_uniform(stdv: float):
+    """uniform(-stdv, stdv) initializer (torch nn.init.uniform_ parity)."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-stdv, maxval=stdv)
+    return init
+
+
 class GraphLinear(nn.Module):
     """1x1 'convolution' on graphs: x is (B, C, V) (`graph_cmr_layers.py:57-75`)."""
     out_channels: int
@@ -74,12 +85,12 @@ class GraphLinear(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[1]
         stdv = 1.0 / (in_channels * self.out_channels)
-        w = self.param("W", nn.initializers.uniform(scale=2 * stdv),
-                       (self.out_channels, in_channels))
-        b = self.param("b", nn.initializers.uniform(scale=2 * stdv),
-                       (self.out_channels,))
-        w = w - stdv  # uniform(scale) is [0, scale); recenter to [-stdv, stdv)
-        return jnp.einsum("oc,bcv->bov", w, x) + (b - stdv)[None, :, None]
+        # store params centered in [-stdv, stdv) (a shifted store + call-time
+        # recenter would make weight decay pull toward -stdv, not 0)
+        init = _centered_uniform(stdv)
+        w = self.param("W", init, (self.out_channels, in_channels))
+        b = self.param("b", init, (self.out_channels,))
+        return jnp.einsum("oc,bcv->bov", w, x) + b[None, :, None]
 
 
 class GraphConvolution(nn.Module):
@@ -93,10 +104,9 @@ class GraphConvolution(nn.Module):
     def __call__(self, x: jnp.ndarray, adjacency: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
         stdv = 6.0 / np.sqrt(in_features + self.out_features)
-        w = self.param("weight", nn.initializers.uniform(scale=2 * stdv),
-                       (in_features, self.out_features)) - stdv
-        b = self.param("bias", nn.initializers.uniform(scale=2 * stdv),
-                       (self.out_features,)) - stdv
+        init = _centered_uniform(stdv)
+        w = self.param("weight", init, (in_features, self.out_features))
+        b = self.param("bias", init, (self.out_features,))
         support = jnp.einsum("bvc,co->bvo", x, w)
         return jnp.einsum("uv,bvo->buo", adjacency, support) + b
 

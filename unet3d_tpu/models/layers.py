@@ -252,7 +252,8 @@ class MyronenkoConvBlock(nn.Module):
         x = nn.GroupNorm(num_groups=group_norm_groups(in_ch, self.norm_groups),
                          name="norm")(x)
         x = nn.relu(x)
-        return conv3(self.planes, self.kernel_size, self.stride, name="conv")(x)
+        return conv3(self.planes, self.kernel_size, self.stride, use_bias=False,
+                     name="conv")(x)
 
 
 class MyronenkoResidualBlock(nn.Module):
@@ -273,7 +274,7 @@ class MyronenkoResidualBlock(nn.Module):
         y = MyronenkoConvBlock(self.planes, self.stride, self.norm_groups,
                                self.kernel_size, name="conv2")(y)
         if x.shape[-1] != self.planes:
-            identity = conv1(self.planes, name="sample")(identity)
+            identity = conv1(self.planes, use_bias=False, name="sample")(identity)
         return y + identity
 
 

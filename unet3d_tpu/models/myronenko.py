@@ -44,6 +44,7 @@ class MyronenkoEncoder(nn.Module):
                 if self.collect_skips:
                     skips.insert(0, x)
                 x = conv3(out_width, self.kernel_size, self.downsampling_stride,
+                          use_bias=False,
                           name=f"down{i}")(x)
         if self.collect_skips:
             skips.insert(0, x)

@@ -31,10 +31,10 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
         out = nn.Conv(self.planes, (3, 3, 3), strides=(self.stride,) * 3,
-                      padding="SAME", use_bias=False, name="conv1")(x)
+                      padding=((1, 1),) * 3, use_bias=False, name="conv1")(x)
         out = nn.relu(_bn("bn1", train)(out))
-        out = nn.Conv(self.planes, (3, 3, 3), padding="SAME", use_bias=False,
-                      name="conv2")(out)
+        out = nn.Conv(self.planes, (3, 3, 3), padding=((1, 1),) * 3,
+                      use_bias=False, name="conv2")(out)
         out = _bn("bn2", train)(out)
         if self.has_downsample:
             identity = nn.Conv(self.planes, (1, 1, 1), strides=(self.stride,) * 3,
@@ -57,8 +57,9 @@ class Bottleneck(nn.Module):
         identity = x
         out = nn.Conv(width, (1, 1, 1), padding="VALID", use_bias=False, name="conv1")(x)
         out = nn.relu(_bn("bn1", train)(out))
-        out = nn.Conv(width, (3, 3, 3), strides=(self.stride,) * 3, padding="SAME",
-                      feature_group_count=self.groups, use_bias=False, name="conv2")(out)
+        out = nn.Conv(width, (3, 3, 3), strides=(self.stride,) * 3,
+                      padding=((1, 1),) * 3, feature_group_count=self.groups,
+                      use_bias=False, name="conv2")(out)
         out = nn.relu(_bn("bn2", train)(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1, 1), padding="VALID",
                       use_bias=False, name="conv3")(out)
@@ -84,10 +85,13 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2), padding="SAME", use_bias=False,
-                    name="conv1")(x)
+        # torch-parity symmetric padding (k//2 both sides); XLA "SAME" pads
+        # lo=0/hi=1-style asymmetrically on even sizes at stride 2, which
+        # shifts the stem/blocks one voxel against the reference
+        x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2), padding=((3, 3),) * 3,
+                    use_bias=False, name="conv1")(x)
         x = nn.relu(_bn("bn1", train)(x))
-        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)
         in_planes = 64
         for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             stride = 1 if stage == 0 else 2

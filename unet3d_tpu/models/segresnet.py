@@ -70,7 +70,7 @@ class SegResNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.spatial_dims != 3:
             raise NotImplementedError("unet3d_tpu SegResNet is 3D")
-        x = conv3(self.init_filters, 3, 1, name="convInit")(x)
+        x = conv3(self.init_filters, 3, 1, use_bias=False, name="convInit")(x)
         if self.dropout_prob is not None:
             # MONAI uses Dropout3d here: whole-channel dropout
             x = nn.Dropout(rate=self.dropout_prob, broadcast_dims=(1, 2, 3),
@@ -80,7 +80,7 @@ class SegResNet(nn.Module):
         for i, n_blocks in enumerate(self.blocks_down):
             width = self.init_filters * (2 ** i)
             if i > 0:
-                x = conv3(width, 3, 2, name=f"down{i}")(x)
+                x = conv3(width, 3, 2, use_bias=False, name=f"down{i}")(x)
             for b in range(n_blocks):
                 x = MyronenkoResidualBlock(width, norm_groups=self.norm_groups,
                                            name=f"layer{i}_block{b}")(x)
@@ -89,7 +89,7 @@ class SegResNet(nn.Module):
         up_skips = skips[:-1][::-1]  # deepest-first, excluding the bottleneck
         for i, n_blocks in enumerate(self.blocks_up):
             width = x.shape[-1] // 2
-            x = conv1(width, name=f"up{i}_conv")(x)
+            x = conv1(width, use_bias=False, name=f"up{i}_conv")(x)
             x = _upsample2x(x, self.upsample_mode, name=f"up{i}_deconv")
             x = x + up_skips[i]
             for b in range(n_blocks):
@@ -144,7 +144,7 @@ class SegResNetVAE(nn.Module):
                 "the VAE branch reconstructs at the input resolution; got "
                 f"blocks_up={self.blocks_up} for blocks_down={self.blocks_down}")
         net_input = x
-        x = conv3(self.init_filters, 3, 1, name="convInit")(x)
+        x = conv3(self.init_filters, 3, 1, use_bias=False, name="convInit")(x)
         if self.dropout_prob is not None:
             # MONAI uses Dropout3d here: whole-channel dropout
             x = nn.Dropout(rate=self.dropout_prob, broadcast_dims=(1, 2, 3),
@@ -154,7 +154,7 @@ class SegResNetVAE(nn.Module):
         for i, n_blocks in enumerate(self.blocks_down):
             width = self.init_filters * (2 ** i)
             if i > 0:
-                x = conv3(width, 3, 2, name=f"down{i}")(x)
+                x = conv3(width, 3, 2, use_bias=False, name=f"down{i}")(x)
             for b in range(n_blocks):
                 x = MyronenkoResidualBlock(width, norm_groups=self.norm_groups,
                                            name=f"layer{i}_block{b}")(x)
@@ -167,7 +167,7 @@ class SegResNetVAE(nn.Module):
         bottom_width = self.init_filters * (2 ** (len(self.blocks_down) - 1))
         for i, n_blocks in enumerate(self.blocks_up):
             width = bottom_width // (2 ** (i + 1))
-            up_convs.append(conv1(width, name=f"up{i}_conv"))
+            up_convs.append(conv1(width, use_bias=False, name=f"up{i}_conv"))
             up_samplers.append(_make_upsample2x(width, self.upsample_mode,
                                                 name=f"up{i}_deconv"))
             up_blocks.append([
@@ -207,7 +207,8 @@ class SegResNetVAE(nn.Module):
                                                       self.norm_groups),
                          name="vae_down_norm")(vae_input)
         v = nn.relu(v)
-        v = conv3(self.smallest_filters, 3, 2, name="vae_down_conv")(v)
+        v = conv3(self.smallest_filters, 3, 2, use_bias=False,
+                  name="vae_down_conv")(v)
         v = v.reshape(v.shape[0], -1)
         z_mean = nn.Dense(self.vae_nz, name="vae_fc1")(v)
         noise = jax.random.normal(self.make_rng("sample"), z_mean.shape,
@@ -224,7 +225,7 @@ class SegResNetVAE(nn.Module):
             z = z_mean + self.vae_default_std * noise
         r = nn.relu(nn.Dense(total, name="vae_fc3")(z))
         r = r.reshape((r.shape[0],) + tuple(fc_insize) + (self.smallest_filters,))
-        r = conv1(bottom_width, name="vae_fc_up_conv")(r)
+        r = conv1(bottom_width, use_bias=False, name="vae_fc_up_conv")(r)
         r = _make_upsample2x(bottom_width, self.upsample_mode,
                              name="vae_fc_upsample")(r)
         r = run_decoder(r, use_skips=False)

@@ -49,7 +49,7 @@ class UNet3D(nn.Module):
                         layer_widths=self.layer_widths,
                         use_transposed_convolutions=self.use_transposed_convolutions,
                         kernel_size=self.kernel_size, name="decoder")(skips, train=train)
-        y = conv1(self.n_outputs, name="final_convolution")(y)
+        y = conv1(self.n_outputs, use_bias=False, name="final_convolution")(y)
         act = _activation(self.activation)
         return act(y) if act else y
 

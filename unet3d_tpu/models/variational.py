@@ -75,7 +75,7 @@ class ConvolutionalAutoEncoder(nn.Module):
         x = self._encoder()(x, train=train)
         x = self._decoder()(x, train=train)
         n_out = self.n_outputs if self.n_outputs is not None else self.n_features
-        x = conv1(n_out, name="final_convolution")(x)
+        x = conv1(n_out, use_bias=False, name="final_convolution")(x)
         act = _activation(self.activation)
         return act(x) if act else x
 
@@ -94,7 +94,11 @@ class VariationalBlock(nn.Module):
             eps = jax.random.normal(self.make_rng("sample"), std.shape, std.dtype)
             z = mu + eps * std
         else:
-            z = mu  # deterministic `.test()` path (`variational.py:148-155`)
+            z = mu  # deterministic `.test()` path (`variational.py:148-155`).
+            # Intentional divergence: the reference's forward() samples eps
+            # even in eval; here eval defaults to the deterministic mu-decode
+            # (equivalent to its test()) so validation losses are repeatable.
+            # Pass sample=True for the reference's sampled-eval behavior.
         out = nn.Dense(self.out_size, name="dense2")(z)
         return out, mu, logvar
 
@@ -116,7 +120,10 @@ class MyronenkoVariationalLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, sample: bool = True,
                  return_reduced: bool = False):
-        reduced_shape = tuple(int(s // self.conv_stride) for s in self.input_shape)
+        # SAME-padded stride-s convs produce CEIL(size/s) outputs; floor
+        # division broke non-divisible input shapes (ref shares the flaw)
+        reduced_shape = tuple(-(-int(s) // self.conv_stride)
+                              for s in self.input_shape)
         in_size = int(np.prod(reduced_shape)) * self.reduced_features
         x = MyronenkoConvBlock(self.reduced_features, stride=self.conv_stride,
                                name="in_conv")(x)
@@ -126,7 +133,7 @@ class MyronenkoVariationalLayer(nn.Module):
                                          name="var_block")(reduced, sample=sample)
         x = nn.relu(x)
         x = x.reshape((-1,) + reduced_shape + (self.reduced_features,))
-        x = conv1(self.in_features, name="out_conv")(x)
+        x = conv1(self.in_features, use_bias=False, name="out_conv")(x)
         x = upsample_ndhwc(x, self.conv_stride, self.upsampling_mode,
                            self.align_corners_upsampling)
         if return_reduced:
@@ -162,7 +169,7 @@ class VariationalAutoEncoder(ConvolutionalAutoEncoder):
             upsampling_mode=self.interpolation_mode, name="var_layer")(x, sample=sample)
         x = self._decoder()(x, train=train)
         n_out = self.n_outputs if self.n_outputs is not None else self.n_features
-        x = conv1(n_out, name="final_convolution")(x)
+        x = conv1(n_out, use_bias=False, name="final_convolution")(x)
         act = _activation(self.activation)
         if act:
             x = act(x)

@@ -77,11 +77,14 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # the reference's ReLU(inplace=True) mutates its input, so the
+        # residual it adds is relu(x), not x (`vqvae2.py:78-88`)
         out = nn.relu(x)
+        res = out
         out = nn.Conv(self.channel, (3, 3, 3), padding="SAME", name="conv1")(out)
         out = nn.relu(out)
         out = nn.Conv(x.shape[-1], (1, 1, 1), padding="VALID", name="conv2")(out)
-        return x + out
+        return res + out
 
 
 class Encoder(nn.Module):
