@@ -77,8 +77,10 @@ def setup_cross_validation(config, work_dir, n_folds, random_seed=25):
     Parity: `script_utils.py:249-272`.
     """
     filenames = config["training_filenames"]
-    np.random.seed(random_seed)
-    np.random.shuffle(filenames)
+    # Local RandomState, NOT np.random.seed: same Mersenne-Twister shuffle
+    # sequence as the reference (so fold{i}.json splits are bit-identical),
+    # without reseeding the caller's global numpy RNG as a side effect.
+    np.random.RandomState(random_seed).shuffle(filenames)
     val_step = int(len(filenames) / n_folds)
     fold_configs = []
     for fold_i in range(n_folds):

@@ -9,7 +9,8 @@ implementation of the ``monai.networks.nets.AttentionUnet`` topology:
 - decoder: recursive AttentionLayer — upsample the deeper output with a
   transposed conv (+BN+ReLU), gate the same-level encoder features with an
   additive attention block (psi = sigmoid(BN(conv1(relu(W_g g + W_x x))))),
-  concat and merge with a ConvBlock.
+  concat and merge with a single monai Convolution
+  (conv3 -> InstanceNorm -> dropout -> PReLU, the default ADN).
 - pointwise head to ``out_channels``.
 
 BatchNorm statistics live in the ``batch_stats`` collection the trainer
@@ -23,6 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from unet3d_tpu.models.layers import FastConv, conv1, transposed_conv
+from unet3d_tpu.models.monai_unet import Convolution
 
 
 def _bn(name: str, train: bool) -> nn.BatchNorm:
@@ -108,6 +110,7 @@ class AttentionUnet(nn.Module):
                         name=f"upconv{i}")(y, train)
             att = AttentionBlock(max(ch[i] // 2, 1),
                                  name=f"att{i}")(up, skip, train)
-            y = ConvBlock(ch[i], name=f"merge{i}")(
+            # MONAI AttentionLayer.merge: one default Convolution, not a ConvBlock.
+            y = Convolution(ch[i], dropout=self.dropout, name=f"merge{i}")(
                 jnp.concatenate([att, up], axis=-1), train)
         return conv1(self.out_channels, use_bias=True, name="head")(y)

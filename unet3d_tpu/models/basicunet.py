@@ -45,13 +45,14 @@ def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pad_to_match(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
-    """Pad odd spatial mismatches before concat (MONAI UpCat F.pad)."""
+    """Pad odd spatial mismatches before concat (MONAI UpCat uses
+    F.pad(..., 'replicate'), so boundary values are edge-replicated)."""
     pads = [(0, 0)]
     for i in range(1, 4):
         pads.append((0, max(ref.shape[i] - x.shape[i], 0)))
     pads.append((0, 0))
     if any(p != (0, 0) for p in pads):
-        x = jnp.pad(x, pads)
+        x = jnp.pad(x, pads, mode="edge")
     return x
 
 

@@ -30,8 +30,11 @@ def _center_pad_to(x: jnp.ndarray, target_spatial: Tuple[int, int, int]) -> jnp.
     pads = [(0, 0)]
     for s, t in zip(x.shape[1:4], target_spatial):
         diff = t - s
-        if diff < 0:  # crop: F.pad negative semantics (end-biased split)
-            lo = (-diff) // 2
+        if diff < 0:
+            # crop: F.pad negative semantics. torch pads (diff//2, diff-diff//2);
+            # floor division makes the START pad the more negative one, so the
+            # larger crop (ceil(|diff|/2)) comes off the start of the dim.
+            lo = -(diff // 2)
             slices.append(slice(lo, lo + t))
             pads.append((0, 0))
         else:

@@ -59,9 +59,17 @@ def load_surface(surface_filename: str) -> Tuple[np.ndarray, np.ndarray]:
                 for i in range(int(darray.get("Dimensionality")))]
         dtype = np.float32 if darray.get("DataType") == "NIFTI_TYPE_FLOAT32" \
             else np.int32
+        encoding = darray.get("Encoding")
+        if encoding not in ("Base64Binary", "GZipBase64Binary"):
+            # e.g. ExternalFileBinary / ASCII — name the encoding instead of
+            # failing on a None/garbled <Data> payload downstream.
+            raise ValueError(
+                f"GIFTI DataArray encoding {encoding!r} in {surface_filename} is "
+                "not supported; re-encode the surface as Base64Binary or "
+                "GZipBase64Binary (e.g. nibabel save with default encoding)")
         data_el = darray.find("Data")
         raw = base64.b64decode(data_el.text)
-        if darray.get("Encoding") == "GZipBase64Binary":
+        if encoding == "GZipBase64Binary":
             raw = gzip.decompress(raw)
         arrays[intent] = np.frombuffer(raw, dtype=dtype).reshape(dims)
     vertices = arrays["NIFTI_INTENT_POINTSET"].astype(np.float32)

@@ -15,6 +15,7 @@ host round-trips per window.
 from __future__ import annotations
 
 
+from collections import OrderedDict
 from typing import Callable, Sequence, Tuple
 
 import jax
@@ -79,7 +80,11 @@ class SlidingWindowInferer:
         self.sigma_scale = sigma_scale
         self.padding_mode = padding_mode
         self.cval = cval
-        self._jitted = {}
+        # LRU of jitted programs keyed on the network object. Bounded so a
+        # long-lived service cycling through many network objects doesn't pin
+        # them (each entry holds a strong ref to its network for id() safety).
+        self._jitted: OrderedDict = OrderedDict()
+        self._jitted_capacity = 8
         del progress
 
     def __call__(self, inputs: jnp.ndarray, network: Callable) -> jnp.ndarray:
@@ -96,7 +101,9 @@ class SlidingWindowInferer:
                 sw_batch_size=self.sw_batch_size, overlap=self.overlap,
                 mode=self.mode, sigma_scale=self.sigma_scale, cval=self.cval)
         key = id(network)
-        if key not in self._jitted:
+        if key in self._jitted:
+            self._jitted.move_to_end(key)
+        else:
             def run(x, _network=network):
                 return sliding_window_inference(
                     x, _network, roi_size=self.roi_size,
@@ -106,6 +113,8 @@ class SlidingWindowInferer:
             from unet3d_tpu.train.step import tpu_compiler_options
             self._jitted[key] = (
                 jax.jit(run, compiler_options=tpu_compiler_options()), network)
+            while len(self._jitted) > self._jitted_capacity:
+                self._jitted.popitem(last=False)
         return self._jitted[key][0](inputs)
 
 
