@@ -126,3 +126,46 @@ def test_validate_filenames_skips_missing(subjects):
     assert len(valid) == len(subjects)
     with pytest.raises(FileNotFoundError):
         validate_filenames(bad, raise_on_missing=True)
+
+
+def test_multi_sample_crop_pipeline(subjects):
+    """RandSpatialCropSamplesD fans each subject into patches; the loader's
+    default collate_flatten folds (B, S, C, ...) to (B*S, C, ...) — the
+    producer for `training_utils.py:230-240` collate parity."""
+    from unet3d_tpu.data.loader import build_loader
+    ds = SegmentationDataset(
+        subjects, labels=[1], normalization="zero_mean",
+        spatial_augmentations=[{"name": "RandSpatialCropSamplesD",
+                                "roi_size": [8, 8, 8], "num_samples": 3}])
+    assert ds.multi_sample
+    item = ds[0]
+    assert item["image"].shape == (3, 1, 8, 8, 8)
+    assert item["label"].shape == (3, 1, 8, 8, 8)
+    # patches are z-scored independently? No: normalization maps over patches
+    loader = build_loader(ds, batch_size=2, shuffle=False)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (6, 1, 8, 8, 8)
+    assert batch["label"].shape == (6, 1, 8, 8, 8)
+
+
+def test_multi_sample_with_intensity_augs(subjects):
+    ds = SegmentationDataset(
+        subjects, labels=[1], normalization="zero_mean",
+        spatial_augmentations=[
+            {"name": "RandFlipD", "prob": 1.0, "spatial_axis": 0},
+            {"name": "RandSpatialCropSamplesD", "roi_size": [8, 8, 8],
+             "num_samples": 2}],
+        intensity_augmentations=[{"name": "RandShiftIntensityD", "prob": 1.0,
+                                  "offsets": (0.5, 0.5)}])
+    item = ds[1]
+    assert item["image"].shape == (2, 1, 8, 8, 8)
+
+
+def test_explicit_collate_name(subjects):
+    from unet3d_tpu.data.loader import build_loader
+    ds = SegmentationDataset(subjects, **_kwargs())
+    loader = build_loader(ds, batch_size=2, collate="collate_flatten")
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 1, 16, 16, 16)  # no-op at 5D
+    with pytest.raises(ValueError, match="collate"):
+        build_loader(ds, collate="bogus_collate")

@@ -369,3 +369,71 @@ def test_segresnetvae_short_blocks_up_raises():
                      blocks_down=(1, 1, 1), blocks_up=(1,))
     with pytest.raises(ValueError, match="blocks_up"):
         init_params(m, (16, 16, 16, 1))
+
+
+def test_segresnet_ds_forward_and_train():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("SegResNetDS", in_channels=1, out_channels=2,
+                     init_filters=4, blocks_down=[1, 2, 2], dsdepth=1)
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    y, _ = m.apply(v, x, True, mutable=["batch_stats"])
+    assert y.shape == (1, 16, 16, 16, 2)
+    _train_one_step("SegResNetDS", 1, 2, 16, init_filters=4,
+                    blocks_down=[1, 2, 2])
+
+
+def test_segresnet_ds_deep_supervision_stack():
+    import jax.numpy as jnp
+    import numpy as np
+    m = create_model("SegResNetDS", in_channels=1, out_channels=3,
+                     init_filters=4, blocks_down=[1, 1, 1], dsdepth=2)
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 16, 1), jnp.float32)
+    y, _ = m.apply(v, x, True, mutable=["batch_stats"])
+    # dsdepth=2 heads stacked along axis 1 at full resolution in train mode
+    assert y.shape == (1, 2, 16, 16, 16, 3)
+    # eval returns only the full-resolution head
+    ye = m.apply(v, x, False)
+    assert ye.shape == (1, 16, 16, 16, 3)
+
+
+def test_segresnet_ds_resolution_not_implemented():
+    import pytest
+    m = create_model("SegResNetDS", in_channels=1, out_channels=2,
+                     init_filters=4, resolution=[1.0, 1.0, 5.0])
+    with pytest.raises(NotImplementedError, match="resolution"):
+        init_params(m, (16, 16, 16, 1))
+
+
+def test_densenet121_forward_and_train():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    m = create_model("DenseNet121", in_channels=1, out_channels=5,
+                     init_features=4, growth_rate=2, block_config=[2, 2])
+    v = init_params(m, (16, 16, 16, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 16, 1), jnp.float32)
+    y = m.apply(v, x, False)
+    assert y.shape == (2, 5)
+    # one SGD step through BatchNorm-mutating train mode
+    def loss_fn(params):
+        out, updates = m.apply({"params": params,
+                                "batch_stats": v["batch_stats"]},
+                               x, True, mutable=["batch_stats"])
+        return jnp.mean((out - 1.0) ** 2)
+    g = jax.grad(loss_fn)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_densenet_family_block_configs():
+    from unet3d_tpu.models.densenet import (DenseNet121, DenseNet169,
+                                            DenseNet201, DenseNet264)
+    assert DenseNet121().block_config == (6, 12, 24, 16)
+    assert DenseNet169().block_config == (6, 12, 32, 32)
+    assert DenseNet201().block_config == (6, 12, 48, 32)
+    assert DenseNet264().block_config == (6, 12, 64, 48)

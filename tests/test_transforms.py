@@ -142,3 +142,107 @@ def test_pad_or_crop_center_matches_monai_convention():
     out = pad_or_crop(arr, (3, 4, 4))
     # s=4, t=3: start = 4//2 - 3//2 = 1 -> values 1, 2, 3
     np.testing.assert_array_equal(out[0, :, 0, 0], [1.0, 2.0, 3.0])
+
+
+# ---------------------------------------------------------------- round 3
+
+
+NEW_SPECS = [
+    {"name": "RandBiasFieldD", "prob": 1.0, "degree": 2,
+     "coeff_range": (0.2, 0.4)},
+    {"name": "RandHistogramShiftD", "prob": 1.0, "num_control_points": 6},
+    {"name": "RandGaussianSharpenD", "prob": 1.0},
+    {"name": "RandCoarseDropoutD", "prob": 1.0, "holes": 3, "spatial_size": 4},
+]
+
+
+@pytest.mark.parametrize("spec", NEW_SPECS, ids=[s["name"] for s in NEW_SPECS])
+def test_new_intensity_transform_applies(spec):
+    img, lbl = _sample()
+    t = build_transform(spec)
+    out_img, out_lbl = t(np.random.RandomState(1), img, lbl)
+    assert np.asarray(out_img).shape == img.shape
+    assert not np.allclose(np.asarray(out_img), img)
+    assert np.array_equal(np.asarray(out_lbl), lbl)  # intensity-only
+
+
+def test_bias_field_is_positive_multiplicative():
+    img = np.ones((1, 8, 8, 8), np.float32)
+    t = build_transform({"name": "RandBiasFieldD", "prob": 1.0,
+                         "coeff_range": (0.1, 0.3)})
+    out, _ = t(np.random.RandomState(0), img, None)
+    out = np.asarray(out)
+    assert (out > 0).all()          # exp field is strictly positive
+    assert out.std() > 0            # spatially varying
+    # multiplicative: doubling the image doubles the output (same rng draw)
+    out2, _ = t(np.random.RandomState(0), 2 * img, None)
+    np.testing.assert_allclose(np.asarray(out2), 2 * out, rtol=1e-5)
+
+
+def test_histogram_shift_monotone_and_range_preserving():
+    img, _ = _sample()
+    t = build_transform({"name": "RandHistogramShiftD", "prob": 1.0,
+                         "num_control_points": (5, 8)})
+    out, _ = t(np.random.RandomState(3), img, None)
+    out = np.asarray(out)
+    # endpoints are fixed points: min/max preserved
+    np.testing.assert_allclose(out.min(), img.min(), atol=1e-5)
+    np.testing.assert_allclose(out.max(), img.max(), atol=1e-5)
+    # monotone: ordering of voxel intensities is preserved
+    flat_in = img.ravel()
+    flat_out = out.ravel()
+    order = np.argsort(flat_in)
+    assert (np.diff(flat_out[order]) >= -1e-6).all()
+
+
+def test_gaussian_sharpen_formula():
+    from unet3d_tpu.data.transforms import separable_gaussian_blur
+    img, _ = _sample()
+    t = build_transform({"name": "RandGaussianSharpenD", "prob": 1.0,
+                         "sigma1_x": 1.0, "sigma1_y": 1.0, "sigma1_z": 1.0,
+                         "sigma2_x": 0.5, "sigma2_y": 0.5, "sigma2_z": 0.5,
+                         "alpha": (20.0, 20.0)})
+    out, _ = t(np.random.RandomState(0), img, None)
+    b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0])
+    b2 = separable_gaussian_blur(b1, [0.5, 0.5, 0.5])
+    expected = b1 + 20.0 * (b1 - b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4)
+
+
+def test_coarse_dropout_holes_and_inverse():
+    img = np.full((1, 12, 12, 12), 5.0, np.float32)
+    t = build_transform({"name": "RandCoarseDropoutD", "prob": 1.0, "holes": 2,
+                         "spatial_size": 4, "fill_value": 0.0})
+    out, _ = t(np.random.RandomState(0), img, None)
+    out = np.asarray(out)
+    assert (out == 0).any() and (out == 5.0).any()
+    # dropout_holes=False fills everything OUTSIDE the holes
+    t_inv = build_transform({"name": "RandCoarseDropoutD", "prob": 1.0,
+                             "holes": 2, "spatial_size": 4,
+                             "dropout_holes": False, "fill_value": -1.0})
+    out_inv, _ = t_inv(np.random.RandomState(0), img, None)
+    out_inv = np.asarray(out_inv)
+    # same rng -> same holes: the kept/filled regions are complementary
+    np.testing.assert_array_equal(out == 0.0, out_inv == 5.0)
+
+
+def test_coarse_dropout_random_fill_range():
+    img = np.zeros((1, 10, 10, 10), np.float32)
+    t = build_transform({"name": "RandCoarseDropoutD", "prob": 1.0, "holes": 1,
+                         "spatial_size": 6, "fill_value": (2.0, 3.0)})
+    out = np.asarray(t(np.random.RandomState(1), img, None)[0])
+    filled = out[out != 0]
+    assert filled.size > 0
+    assert (filled >= 2.0).all() and (filled < 3.0).all()
+    assert filled.std() > 0  # per-voxel random, not constant
+
+
+def test_rand_spatial_crop_samples_stacks():
+    img, lbl = _sample()
+    t = build_transform({"name": "RandSpatialCropSamplesD",
+                         "roi_size": [6, 6, 6], "num_samples": 4})
+    out_img, out_lbl = t(np.random.RandomState(0), img, lbl)
+    assert np.asarray(out_img).shape == (4, 2, 6, 6, 6)
+    assert np.asarray(out_lbl).shape == (4, 1, 6, 6, 6)
+    # crops are (almost surely) different
+    assert not np.allclose(np.asarray(out_img)[0], np.asarray(out_img)[1])

@@ -152,12 +152,18 @@ def build_data_loaders_from_config(config, system_config, output_dir, dataset_cl
         transfer_dtype = {"image": ml_dtypes.bfloat16,
                           "label": ml_dtypes.bfloat16}
 
+    # optional explicit collate name (collate_flatten / collate_5d_flatten);
+    # multi-sample datasets (RandSpatialCropSamplesD) default to
+    # collate_flatten automatically inside the loader
+    collate = in_config("collate", config["training"], None)
+
     training_dataset = dataset_class(filenames=config["training_filenames"],
                                      **training_kwargs, **dataset_kwargs)
     training_loader = build_loader(training_dataset, batch_size=batch_size,
                                    shuffle=True, num_workers=n_workers,
                                    prefetch_factor=prefetch_factor,
-                                   transfer_dtype=transfer_dtype)
+                                   transfer_dtype=transfer_dtype,
+                                   collate=collate)
 
     if test_input:
         write_dataset_examples(test_input, training_dataset,

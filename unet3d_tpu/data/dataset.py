@@ -156,6 +156,13 @@ class SegmentationDataset:
             out["label"] = label_data
         return out
 
+    @property
+    def multi_sample(self) -> bool:
+        """True when a transform emits multiple patches per input sample
+        (RandSpatialCropSamplesD) — samples are then (S, C, D, H, W) and the
+        loader should collate with ``collate_flatten``."""
+        return any(getattr(t, "num_samples", 1) > 1 for t in self.spatial_transforms)
+
     # ------------------------------------------------------------------ random
     def _random_stages(self, sample: Dict[str, Any], index: int) -> Dict[str, Any]:
         rng = np.random.RandomState(
@@ -164,15 +171,34 @@ class SegmentationDataset:
         label = sample.get("label")
         if self.random_cropper is not None:
             image, label = self.random_cropper(rng, image, label)
+        # multi-sample transforms fan one input into several patches; the rest
+        # of the pipeline maps over the list (MONAI Compose list semantics)
+        pairs = [(image, label)]
         for t in self.spatial_transforms:
-            image, label = t(rng, image, label)
-        image = apply_normalization(image, self.normalization, self.normalization_kwargs)
-        for t in self.intensity_transforms:
-            image, _ = t(rng, image, label)
-        out = {"image": np.asarray(image, dtype=np.float32), "affine": sample["affine"],
+            if getattr(t, "num_samples", 1) > 1:
+                fanned = []
+                for im, lb in pairs:
+                    fanned.extend(t.samples(rng, im, lb))
+                pairs = fanned
+            else:
+                pairs = [t(rng, im, lb) for im, lb in pairs]
+        images, labels = [], []
+        for im, lb in pairs:
+            im = apply_normalization(im, self.normalization,
+                                     self.normalization_kwargs)
+            for t in self.intensity_transforms:
+                im, _ = t(rng, im, lb)
+            images.append(np.asarray(im, dtype=np.float32))
+            labels.append(None if lb is None else np.asarray(lb, dtype=np.float32))
+        if len(images) == 1:
+            image_out, label_out = images[0], labels[0]
+        else:  # (S, C, D, H, W): collate_flatten's input shape
+            image_out = np.stack(images)
+            label_out = None if labels[0] is None else np.stack(labels)
+        out = {"image": image_out, "affine": sample["affine"],
                "source_filename": sample["source_filename"]}
-        if label is not None:
-            out["label"] = np.asarray(label, dtype=np.float32)
+        if label_out is not None:
+            out["label"] = label_out
         return out
 
     def __getitem__(self, index: int) -> Dict[str, Any]:

@@ -60,7 +60,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 1, seed: int = 0, prefetch_factor: int = 2,
-                 drop_last: bool = False, transfer_dtype=None):
+                 drop_last: bool = False, transfer_dtype=None, collate=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -69,10 +69,17 @@ class DataLoader:
         self.prefetch_factor = max(int(prefetch_factor), 1)
         self.drop_last = drop_last
         self.transfer_dtype = dict(transfer_dtype or {})
+        # multi-sample datasets (RandSpatialCropSamplesD) default to
+        # collate_flatten so (B, S, C, D, H, W) folds to (B*S, ...)
+        if collate is None and getattr(dataset, "multi_sample", False):
+            collate = collate_flatten
+        self.collate = collate
         self.epoch = 0
 
     def _stack(self, samples) -> Dict[str, Any]:
         batch = _stack_batch(samples)
+        if self.collate is not None:
+            batch = self.collate(batch)
         for key, dtype in self.transfer_dtype.items():
             arr = batch.get(key)
             # floating only: integer class-index labels must ship untouched
@@ -177,13 +184,26 @@ class DataLoader:
             thread.join(timeout=10)
 
 
+_COLLATE_REGISTRY = {
+    "collate_flatten": collate_flatten,
+    "collate_5d_flatten": collate_5d_flatten,
+}
+
+
 def build_loader(dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 1, pin_memory: bool = False,
                  prefetch_factor: int = 2, seed: int = 0,
-                 transfer_dtype=None) -> DataLoader:
+                 transfer_dtype=None, collate=None) -> DataLoader:
     """Factory with the reference's DataLoader kwarg surface; ``pin_memory`` is
-    accepted for parity (host->HBM transfer is handled by the device put)."""
+    accepted for parity (host->HBM transfer is handled by the device put).
+    ``collate`` may be a callable or a registered name (collate_flatten /
+    collate_5d_flatten, `training_utils.py:230-240`)."""
     del pin_memory
+    if isinstance(collate, str):
+        if collate not in _COLLATE_REGISTRY:
+            raise ValueError(f"collate {collate!r} is not supported; "
+                             f"known: {sorted(_COLLATE_REGISTRY)}")
+        collate = _COLLATE_REGISTRY[collate]
     return DataLoader(dataset, batch_size=batch_size, shuffle=shuffle,
                       num_workers=num_workers, prefetch_factor=prefetch_factor,
-                      seed=seed, transfer_dtype=transfer_dtype)
+                      seed=seed, transfer_dtype=transfer_dtype, collate=collate)

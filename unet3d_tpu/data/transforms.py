@@ -26,8 +26,15 @@ Array = jnp.ndarray
 
 
 class Transform:
-    """Base: ``__call__(rng, image, label) -> (image, label)``."""
+    """Base: ``__call__(rng, image, label) -> (image, label)``.
+
+    ``num_samples > 1`` marks a multi-sample transform (e.g.
+    RandSpatialCropSamplesD): its ``samples()`` returns a LIST of
+    (image, label) pairs and the dataset maps the remaining pipeline over
+    them, stacking to a (S, C, D, H, W) sample that ``collate_flatten``
+    later folds into the batch dimension."""
     spatial = False
+    num_samples = 1
 
     def __call__(self, rng: np.random.RandomState, image, label):
         raise NotImplementedError
@@ -374,6 +381,209 @@ class RandSpatialCropD(Transform):
         return image, label
 
 
+class RandSpatialCropSamplesD(Transform):
+    """MONAI RandSpatialCropSamplesd: ``num_samples`` independent fixed-size
+    random crops per input sample.
+
+    Produces the >5D batches the reference's ``collate_flatten``
+    (`unet3d/train/training_utils.py:230-240`) exists to consume: the dataset
+    stacks the crops into a (S, C, D, H, W) sample, the loader batches to
+    (B, S, C, D, H, W), and collate_flatten folds to (B*S, C, D, H, W).
+    """
+    spatial = True
+
+    def __init__(self, roi_size: Sequence[int], num_samples: int,
+                 random_size: bool = False):
+        if random_size:
+            raise NotImplementedError("random_size=True is not supported")
+        if int(num_samples) < 1:
+            raise ValueError("num_samples must be >= 1")
+        self.num_samples = int(num_samples)
+        self.cropper = RandSpatialCropD(roi_size=roi_size)
+
+    def samples(self, rng, image, label):
+        return [self.cropper(rng, image, label)
+                for _ in range(self.num_samples)]
+
+    def __call__(self, rng, image, label):
+        # direct use (no dataset mapping): stack along a leading sample axis
+        pairs = self.samples(rng, image, label)
+        image = jnp.stack([p[0] for p in pairs], axis=0)
+        if label is not None:
+            label = jnp.stack([p[1] for p in pairs], axis=0)
+        return image, label
+
+
+class RandBiasFieldD(Transform):
+    """MONAI RandBiasFieldd: multiplicative exponential-polynomial bias field.
+
+    Field = exp(sum_{i+j+k <= degree} c_ijk x^i y^j z^k) over [-1, 1]-normalized
+    coordinates, coefficients ~ U(coeff_range); one field shared by all
+    channels (MONAI randomizes the coefficients once per call).
+    """
+
+    def __init__(self, prob: float = 0.1, degree: int = 3,
+                 coeff_range=(0.0, 0.1)):
+        if degree < 1:
+            raise ValueError("degree must be >= 1")
+        self.prob = prob
+        self.degree = int(degree)
+        self.coeff_range = tuple(coeff_range)
+        self.exponents = [(i, j, k)
+                          for i in range(self.degree + 1)
+                          for j in range(self.degree + 1 - i)
+                          for k in range(self.degree + 1 - i - j)]
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        shape = image.shape[-3:]
+        coeffs = rng.uniform(self.coeff_range[0], self.coeff_range[1],
+                             size=len(self.exponents))
+        coords = [np.linspace(-1.0, 1.0, s, dtype=np.float32) for s in shape]
+        log_field = np.zeros(shape, dtype=np.float32)
+        for c, (i, j, k) in zip(coeffs, self.exponents):
+            log_field += (c * coords[0][:, None, None] ** i
+                          * coords[1][None, :, None] ** j
+                          * coords[2][None, None, :] ** k)
+        field = jnp.exp(jnp.asarray(log_field))[None]
+        return jnp.asarray(image) * field, label
+
+
+class RandHistogramShiftD(Transform):
+    """MONAI RandHistogramShiftd: random monotone piecewise-linear remap of the
+    intensity histogram between ``num_control_points`` control points."""
+
+    def __init__(self, prob: float = 0.1, num_control_points=10):
+        self.prob = prob
+        if isinstance(num_control_points, (int, float)):
+            n = int(num_control_points)
+            self.num_control_points = (n, n)
+        else:
+            lo, hi = (int(v) for v in num_control_points)
+            self.num_control_points = (min(lo, hi), max(lo, hi))
+        if self.num_control_points[0] < 2:
+            raise ValueError("num_control_points must be >= 2")
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        n = rng.randint(self.num_control_points[0],
+                        self.num_control_points[1] + 1)
+        reference = np.linspace(0.0, 1.0, n)
+        floating = reference.copy()
+        # monai: each interior point redrawn within (previous floating point,
+        # next reference point) keeping the map monotone
+        for i in range(1, n - 1):
+            floating[i] = rng.uniform(floating[i - 1], reference[i + 1])
+        img = jnp.asarray(image, dtype=jnp.float32)
+        vmin, vmax = jnp.min(img), jnp.max(img)
+        scale = vmax - vmin
+        ref = jnp.asarray(reference, jnp.float32) * scale + vmin
+        flt = jnp.asarray(floating, jnp.float32) * scale + vmin
+        return jnp.interp(img, ref, flt), label
+
+
+class RandGaussianSharpenD(Transform):
+    """MONAI RandGaussianSharpend: unsharp mask with random sigmas/alpha —
+    out = b1 + alpha * (b1 - b2), b1 = blur(img, sigma1), b2 = blur(b1, sigma2)."""
+
+    def __init__(self, prob: float = 0.1,
+                 sigma1_x=(0.5, 1.0), sigma1_y=(0.5, 1.0), sigma1_z=(0.5, 1.0),
+                 sigma2_x=0.5, sigma2_y=0.5, sigma2_z=0.5,
+                 alpha=(10.0, 30.0)):
+        self.prob = prob
+
+        def rng_range(v):
+            return (float(v), float(v)) if isinstance(v, (int, float)) \
+                else tuple(float(x) for x in v)
+
+        self.sigma1 = tuple(rng_range(v) for v in (sigma1_x, sigma1_y, sigma1_z))
+        self.sigma2 = tuple(rng_range(v) for v in (sigma2_x, sigma2_y, sigma2_z))
+        self.alpha = rng_range(alpha)
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        s1 = [rng.uniform(lo, hi) if hi > lo else lo for lo, hi in self.sigma1]
+        s2 = [rng.uniform(lo, hi) if hi > lo else lo for lo, hi in self.sigma2]
+        alpha = rng.uniform(*self.alpha)
+        b1 = separable_gaussian_blur(image, s1)
+        b2 = separable_gaussian_blur(b1, s2)
+        return b1 + alpha * (b1 - b2), label
+
+
+class RandCoarseDropoutD(Transform):
+    """MONAI RandCoarseDropoutd: zero/fill random rectangular holes (or
+    everything OUTSIDE them when ``dropout_holes=False``).
+
+    ``fill_value``: scalar, (lo, hi) uniform-random per voxel, or None for
+    uniform random in [img.min, img.max) (MONAI default).
+    """
+
+    def __init__(self, prob: float = 0.1, holes: int = 1, spatial_size=1,
+                 dropout_holes: bool = True, fill_value=None,
+                 max_holes=None, max_spatial_size=None):
+        if holes < 1:
+            raise ValueError("holes must be >= 1")
+        self.prob = prob
+        self.holes = int(holes)
+        self.max_holes = None if max_holes is None else int(max_holes)
+        self.spatial_size = spatial_size
+        self.max_spatial_size = max_spatial_size
+        self.dropout_holes = bool(dropout_holes)
+        self.fill_value = fill_value
+
+    @staticmethod
+    def _size_triple(value, img_shape):
+        if value is None:
+            return None
+        if isinstance(value, (int, float)):
+            value = (int(value),) * 3
+        # monai fall_back_tuple: non-positive entries fall back to image size
+        return tuple(int(v) if int(v) > 0 else int(s)
+                     for v, s in zip(value, img_shape))
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        shape = image.shape[-3:]
+        size = self._size_triple(self.spatial_size, shape)
+        max_size = self._size_triple(self.max_spatial_size, shape)
+        n_holes = self.holes if self.max_holes is None else \
+            rng.randint(self.holes, self.max_holes + 1)
+        img = np.asarray(image, dtype=np.float32)
+        hole_mask = np.zeros(shape, dtype=bool)
+        for _ in range(n_holes):
+            hsize = [rng.randint(s, m + 1) for s, m in zip(size, max_size)] \
+                if max_size is not None else list(size)
+            hsize = [min(h, s) for h, s in zip(hsize, shape)]
+            # monai RandCoarseTransform: center sampled so the hole fits
+            slices = []
+            for h, s in zip(hsize, shape):
+                center = rng.randint(h // 2, s - h + h // 2 + 1)
+                start = center - h // 2
+                slices.append(slice(start, start + h))
+            hole_mask[tuple(slices)] = True
+        region = hole_mask if self.dropout_holes else ~hole_mask
+        if self.fill_value is None:
+            lo, hi = float(img.min()), float(img.max())
+        elif isinstance(self.fill_value, (int, float)):
+            lo = hi = float(self.fill_value)
+        else:
+            lo, hi = (float(v) for v in self.fill_value)
+        out = img.copy()
+        n_fill = int(region.sum())
+        if n_fill:
+            reg = np.broadcast_to(region, out.shape)
+            if lo == hi:
+                out[reg] = lo
+            else:
+                out[reg] = rng.uniform(lo, hi,
+                                       size=int(reg.sum())).astype(np.float32)
+        return jnp.asarray(out), label
+
+
 TRANSFORM_REGISTRY: Dict[str, type] = {
     "RandFlipD": RandFlipD,
     "RandRotate90D": RandRotate90D,
@@ -386,6 +596,11 @@ TRANSFORM_REGISTRY: Dict[str, type] = {
     "RandGaussianSmoothD": RandGaussianSmoothD,
     "RandAdjustContrastD": RandAdjustContrastD,
     "RandSpatialCropD": RandSpatialCropD,
+    "RandSpatialCropSamplesD": RandSpatialCropSamplesD,
+    "RandBiasFieldD": RandBiasFieldD,
+    "RandHistogramShiftD": RandHistogramShiftD,
+    "RandGaussianSharpenD": RandGaussianSharpenD,
+    "RandCoarseDropoutD": RandCoarseDropoutD,
 }
 # MONAI accepts both the "...D" and "...d" dictionary-transform spellings.
 TRANSFORM_REGISTRY.update({k[:-1] + "d": v for k, v in list(TRANSFORM_REGISTRY.items())})

@@ -17,12 +17,15 @@ from unet3d_tpu.models.attentionunet import AttentionUnet
 from unet3d_tpu.models.basicunet import BasicUNet
 from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
                                       ResNetWithDecoder1D)
+from unet3d_tpu.models.densenet import (DenseNet, DenseNet121, DenseNet169,
+                                        DenseNet201, DenseNet264)
 from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.fcn import FCN
 from unet3d_tpu.models.graph import GraphCMR
 from unet3d_tpu.models.highresnet import HighResNet
 from unet3d_tpu.models.monai_unet import UNet
 from unet3d_tpu.models.segresnet import SegResNet, SegResNetVAE
+from unet3d_tpu.models.segresnet_ds import SegResNetDS
 from unet3d_tpu.models.swin_unetr import SwinUNETR
 from unet3d_tpu.models.unetr import UNETR
 from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
@@ -39,6 +42,8 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "DynUNet": DynUNet,
     "SegResNet": SegResNet,
     "SegResNetVAE": SegResNetVAE,
+    "SegResNetDS": SegResNetDS,
+    "DenseNet": DenseNet,
     "UNETR": UNETR,
     "SwinUNETR": SwinUNETR,
     "UNet": UNet,
@@ -59,6 +64,10 @@ MODEL_REGISTRY: Dict[str, Any] = {
 }
 
 _FACTORIES = {
+    "DenseNet121": DenseNet121,
+    "DenseNet169": DenseNet169,
+    "DenseNet201": DenseNet201,
+    "DenseNet264": DenseNet264,
     "resnet_18": resnet_lib.resnet_18,
     "resnet_34": resnet_lib.resnet_34,
     "resnet_50": resnet_lib.resnet_50,
@@ -79,7 +88,7 @@ def _freeze_lists(value):
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
 _KNOWN_MONAI_UNIMPLEMENTED = (
-    "AHNet", "RegUNet", "SegResNetDS", "DiNTS", "QuickNAT",
+    "AHNet", "RegUNet", "DiNTS", "QuickNAT",
 )
 
 
