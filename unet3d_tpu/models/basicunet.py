@@ -27,7 +27,7 @@ class _ConvNormAct(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = FastConv(self.features, (3, 3, 3), name="conv")(x)
         # instance norm with affine=True == GroupNorm(groups=channels) + scale/bias
-        x = nn.GroupNorm(num_groups=self.features, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.features, epsilon=1e-5, name="norm")(x)
         return nn.leaky_relu(x, self.negative_slope)
 
 

@@ -127,14 +127,14 @@ class GraphResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, adjacency: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[1]
         half = self.out_channels // 2
-        y = nn.relu(nn.GroupNorm(num_groups=max(in_channels // 8, 1), name="pre_norm")
+        y = nn.relu(nn.GroupNorm(num_groups=max(in_channels // 8, 1), epsilon=1e-5, name="pre_norm")
                     (x.swapaxes(1, 2)).swapaxes(1, 2))
         y = GraphLinear(half, name="lin1")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=max(half // 8, 1), name="norm1")
+        y = nn.relu(nn.GroupNorm(num_groups=max(half // 8, 1), epsilon=1e-5, name="norm1")
                     (y.swapaxes(1, 2)).swapaxes(1, 2))
         y = GraphConvolution(half, name="conv")(y.swapaxes(1, 2), adjacency) \
             .swapaxes(1, 2)
-        y = nn.relu(nn.GroupNorm(num_groups=max(half // 8, 1), name="norm2")
+        y = nn.relu(nn.GroupNorm(num_groups=max(half // 8, 1), epsilon=1e-5, name="norm2")
                     (y.swapaxes(1, 2)).swapaxes(1, 2))
         y = GraphLinear(self.out_channels, name="lin2")(y)
         if in_channels != self.out_channels:
@@ -181,6 +181,6 @@ class GraphCMR(nn.Module):
             y = GraphResBlock(self.n_channels, name=f"gc_block{i + 1}")(y, adj)
         y = GraphResBlock(64, name="shape_block0")(y, adj)
         y = GraphResBlock(32, name="shape_block1")(y, adj)
-        y = nn.relu(nn.GroupNorm(num_groups=32 // 8, name="shape_norm")
+        y = nn.relu(nn.GroupNorm(num_groups=32 // 8, epsilon=1e-5, name="shape_norm")
                     (y.swapaxes(1, 2)).swapaxes(1, 2))
         return GraphLinear(self.output_features, name="shape_out")(y)

@@ -250,7 +250,7 @@ class MyronenkoConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.GroupNorm(num_groups=group_norm_groups(in_ch, self.norm_groups),
-                         name="norm")(x)
+                         epsilon=1e-5, name="norm")(x)
         x = nn.relu(x)
         return conv3(self.planes, self.kernel_size, self.stride, use_bias=False,
                      name="conv")(x)

@@ -37,7 +37,7 @@ def _norm_act(x: jnp.ndarray, norm: str, act: str, dropout: float,
     if norm == "instance":
         # torch InstanceNorm3d default: affine=False
         x = nn.GroupNorm(num_groups=x.shape[-1], use_bias=False, use_scale=False,
-                         name=f"norm{idx}")(x)
+                         epsilon=1e-5, name=f"norm{idx}")(x)
     elif norm == "batch":
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name=f"norm{idx}")(x)

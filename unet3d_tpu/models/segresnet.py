@@ -99,7 +99,7 @@ class SegResNet(nn.Module):
         if self.use_conv_final:
             x = nn.GroupNorm(num_groups=group_norm_groups(x.shape[-1],
                                                           self.norm_groups),
-                             name="final_norm")(x)
+                             epsilon=1e-5, name="final_norm")(x)
             x = nn.relu(x)
             x = conv1(self.out_channels, name="conv_final")(x)
         return x
@@ -190,7 +190,7 @@ class SegResNetVAE(nn.Module):
         y = run_decoder(x, use_skips=True)
         y = nn.GroupNorm(num_groups=group_norm_groups(y.shape[-1],
                                                       self.norm_groups),
-                         name="final_norm")(y)
+                         epsilon=1e-5, name="final_norm")(y)
         y = nn.relu(y)
         seg = conv1(self.out_channels, name="conv_final")(y)
         # the VAE branch only contributes during training, but must also be
@@ -205,7 +205,7 @@ class SegResNetVAE(nn.Module):
 
         v = nn.GroupNorm(num_groups=group_norm_groups(vae_input.shape[-1],
                                                       self.norm_groups),
-                         name="vae_down_norm")(vae_input)
+                         epsilon=1e-5, name="vae_down_norm")(vae_input)
         v = nn.relu(v)
         v = conv3(self.smallest_filters, 3, 2, use_bias=False,
                   name="vae_down_conv")(v)

@@ -44,9 +44,9 @@ def _norm(kind: str, channels: int, name: str, train: bool):
                             epsilon=1e-5, name=name)
     if kind == "instance":
         return nn.GroupNorm(num_groups=channels, use_bias=False,
-                            use_scale=False, name=name)
+                            use_scale=False, epsilon=1e-5, name=name)
     if kind == "group":
-        return nn.GroupNorm(num_groups=min(8, channels), name=name)
+        return nn.GroupNorm(num_groups=min(8, channels), epsilon=1e-5, name=name)
     raise NotImplementedError(f"SegResNetDS norm={kind!r} not supported")
 
 

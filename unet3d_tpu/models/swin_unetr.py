@@ -134,7 +134,7 @@ class SwinTransformerBlock(nn.Module):
         pad = tuple((-s) % wsi for s, wsi in zip((d, h, w), ws))
 
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if any(pad):
             y = jnp.pad(y, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)))
         dims = (n, d + pad[0], h + pad[1], w + pad[2])
@@ -154,9 +154,9 @@ class SwinTransformerBlock(nn.Module):
             y = y[:, :d, :h, :w]
         x = shortcut + y
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), name="mlp1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch-exact erf GELU
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Dense(c, name="mlp2")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
@@ -181,7 +181,7 @@ class PatchMerging(nn.Module):
         x = x.reshape(n, d // 2, 2, h // 2, 2, w // 2, 2, c)
         x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
         x = x.reshape(n, d // 2, h // 2, w // 2, 8 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 

@@ -29,6 +29,35 @@ from unet3d_tpu.models.dynunet import UnetBasicBlock, UnetResBlock
 from unet3d_tpu.models.layers import PointwiseConv, _triple, transposed_conv
 
 
+class SelfAttention(nn.Module):
+    """MONAI SABlock conventions: bias-free packed qkv, BIASED out projection
+    (flax MultiHeadDotProductAttention(use_bias=False) would drop the
+    out-projection bias MONAI keeps), scale = head_dim^-0.5."""
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        heads = self.num_heads
+        head_dim = self.hidden_size // heads
+        qkv = nn.Dense(3 * self.hidden_size, use_bias=False, name="qkv")(x)
+        n, t, _ = qkv.shape
+        qkv = qkv.reshape(n, t, 3, heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (N, T, H, hd)
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, x.dtype))
+        attn = nn.softmax(attn, axis=-1)
+        if self.dropout_rate:
+            attn = nn.Dropout(self.dropout_rate,
+                              deterministic=not train)(attn)
+        y = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, -1)
+        y = nn.Dense(self.hidden_size, use_bias=True, name="out_proj")(y)
+        if self.dropout_rate:
+            y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        return y
+
+
 class TransformerBlock(nn.Module):
     hidden_size: int
     mlp_dim: int
@@ -37,15 +66,14 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = nn.LayerNorm(name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.hidden_size,
-            use_bias=False, deterministic=not train,
-            dropout_rate=self.dropout_rate, name="attn")(h, h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        h = SelfAttention(self.hidden_size, self.num_heads,
+                          self.dropout_rate, name="attn")(h, train)
         x = x + h
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(self.mlp_dim, name="mlp1")(h)
-        h = nn.gelu(h)
+        # exact erf GELU (torch/MONAI default); flax defaults to tanh approx
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
         h = nn.Dense(self.hidden_size, name="mlp2")(h)
         h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
@@ -77,7 +105,7 @@ class ViT(nn.Module):
             x = TransformerBlock(self.hidden_size, self.mlp_dim, self.num_heads,
                                  self.dropout_rate, name=f"block{i}")(x, train)
             states.append(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x, states
 
 

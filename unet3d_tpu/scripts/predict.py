@@ -48,6 +48,8 @@ def parse_args():
 def run_inference(config, output_directory, model_filename, group, activation,
                   system_config):
     """Parity: `unet3d/scripts/predict.py:53-97`."""
+    from unet3d_tpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed(system_config)
     logging.info("Output directory: %s", output_directory)
     work_dir = os.path.abspath(output_directory)
     check_hierarchy(config)

@@ -85,6 +85,10 @@ def run(config_filename, output_dir, namespace):
         return
 
     system_config = get_machine_config(namespace)
+    # multi-host pod launch: no-op unless the machine config carries
+    # coordinator_address / n_nodes / node_rank (doc/MultiHost.md)
+    from unet3d_tpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed(system_config)
 
     if namespace.debug:
         config.setdefault("dataset", {})["verbose"] = True
