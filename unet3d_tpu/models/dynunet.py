@@ -13,8 +13,12 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple, Union
 
+import os
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from unet3d_tpu.models.layers import (FastConv, PointwiseConv, _triple,
                                       transposed_conv)
@@ -26,6 +30,47 @@ IntsOrSeq = Union[int, Sequence[int]]
 def _instance_norm(channels: int, name: str) -> nn.GroupNorm:
     # InstanceNorm(affine=True) == GroupNorm with one channel per group.
     return nn.GroupNorm(num_groups=channels, epsilon=1e-5, name=name)
+
+
+class _StatsInstanceNorm(nn.Module):
+    """Instance norm applied from precomputed (sum, sum_sq) stats.
+
+    Numerically the two-moment form flax GroupNorm uses (E[x^2] - E[x]^2,
+    eps 1e-5, f32 stats), but the stats arrive from the conv's fused VMEM
+    epilogue (`ops/conv3d.conv3d_with_stats`) instead of a fresh pass over
+    the conv output. Param tree ('scale', 'bias') matches nn.GroupNorm, so
+    checkpoints interchange with the unfused path."""
+    channels: int
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, s1: jnp.ndarray,
+                 s2: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        m = float(np.prod(y.shape[1:4]))
+        mean = s1 / m                                    # (N, C) f32
+        var = jnp.maximum(s2 / m - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5) * scale.astype(jnp.float32)
+        shift = bias.astype(jnp.float32) - mean * inv
+        out = (y.astype(jnp.float32) * inv[:, None, None, None, :]
+               + shift[:, None, None, None, :])
+        return out.astype(y.dtype)
+
+
+def _conv_in_lrelu(parent_x, features: int, kernel_size, stride,
+                   conv_name: str, norm_name: str, act: bool = True):
+    """conv -> instance norm [-> leaky relu] with the fused-stats epilogue."""
+    y, s1, s2 = FastConv(features, _triple(kernel_size),
+                         strides=_triple(stride), use_bias=False,
+                         with_stats=True, name=conv_name)(parent_x)
+    y = _StatsInstanceNorm(features, name=norm_name)(y, s1, s2)
+    return _lrelu(y) if act else y
+
+
+def _fused_in() -> bool:
+    """Conv + instance-norm-stats fusion (default on; UNET3D_TPU_FUSED_IN=0
+    restores the plain GroupNorm path — identical params and numerics)."""
+    return os.environ.get("UNET3D_TPU_FUSED_IN", "1") != "0"
 
 
 def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -44,6 +89,11 @@ class UnetBasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x) -> jnp.ndarray:
+        if _fused_in():
+            x = _conv_in_lrelu(x, self.out_channels, self.kernel_size,
+                               self.stride, "conv1", "norm1")
+            return _conv_in_lrelu(x, self.out_channels, self.kernel_size,
+                                  1, "conv2", "norm2")
         x = FastConv(self.out_channels, _triple(self.kernel_size),
                      strides=_triple(self.stride), use_bias=False,
                      name="conv1")(x)
@@ -62,13 +112,19 @@ class UnetResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         identity = x
-        y = FastConv(self.out_channels, _triple(self.kernel_size),
-                     strides=_triple(self.stride), use_bias=False,
-                     name="conv1")(x)
-        y = _lrelu(_instance_norm(self.out_channels, "norm1")(y))
-        y = FastConv(self.out_channels, _triple(self.kernel_size),
-                     strides=(1, 1, 1), use_bias=False, name="conv2")(y)
-        y = _instance_norm(self.out_channels, "norm2")(y)
+        if _fused_in():
+            y = _conv_in_lrelu(x, self.out_channels, self.kernel_size,
+                               self.stride, "conv1", "norm1")
+            y = _conv_in_lrelu(y, self.out_channels, self.kernel_size,
+                               1, "conv2", "norm2", act=False)
+        else:
+            y = FastConv(self.out_channels, _triple(self.kernel_size),
+                         strides=_triple(self.stride), use_bias=False,
+                         name="conv1")(x)
+            y = _lrelu(_instance_norm(self.out_channels, "norm1")(y))
+            y = FastConv(self.out_channels, _triple(self.kernel_size),
+                         strides=(1, 1, 1), use_bias=False, name="conv2")(y)
+            y = _instance_norm(self.out_channels, "norm2")(y)
         if x.shape[-1] != self.out_channels or any(s != 1 for s in _triple(self.stride)):
             if _triple(self.stride) == (1, 1, 1):
                 identity = PointwiseConv(self.out_channels, use_bias=False,

@@ -47,9 +47,13 @@ class FastConv(nn.Module):
     strides: Tuple[int, int, int] = (1, 1, 1)
     padding: str = "SAME"
     use_bias: bool = True
+    # with_stats=True returns (y, sum, sum_sq) per (item, channel) — the
+    # instance-norm stats, fused into the conv's VMEM epilogue on the
+    # Pallas-Winograd path (ops/conv3d.conv3d_with_stats)
+    with_stats: bool = False
 
     @nn.compact
-    def __call__(self, x) -> jnp.ndarray:
+    def __call__(self, x):
         """``x`` may be a tuple of tensors to convolve as if channel-concatenated:
         conv(concat(a, b), W) == conv(a, W[..., :ca, :]) + conv(b, W[..., ca:, :])
         exactly, but skips materializing the concat (and its backward split) —
@@ -63,6 +67,10 @@ class FastConv(nn.Module):
         padding = self.padding
         if padding == "SAME":
             padding = tuple((k // 2, k // 2) for k in self.kernel_size)
+        if self.with_stats and len(xs) == 1 and not self.use_bias:
+            from unet3d_tpu.ops.conv3d import conv3d_with_stats
+            return conv3d_with_stats(xs[0], kernel.astype(xs[0].dtype),
+                                     self.strides, padding)
         y = None
         offset = 0
         for v in xs:
@@ -74,6 +82,9 @@ class FastConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)
+        if self.with_stats:
+            yf = y.astype(jnp.float32)
+            return y, jnp.sum(yf, axis=(1, 2, 3)), jnp.sum(yf * yf, axis=(1, 2, 3))
         return y
 
 

@@ -85,6 +85,31 @@ def conv3d_decomp2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def conv3d_with_stats(x: jnp.ndarray, w: jnp.ndarray,
+                      stride: Sequence[int] = (1, 1, 1), padding="SAME"):
+    """Conv + per-(item, channel) f32 (sum, sum_sq) of the output — the
+    instance-norm stats. On the profitable Pallas-Winograd shapes the stats
+    accumulate inside the conv kernel's VMEM epilogue (no HBM re-read of y);
+    elsewhere one jnp stats pass follows the conv (XLA fuses it — the
+    baseline cost this epilogue removes)."""
+    stride = tuple(int(s) for s in stride)
+    same_padding = padding == "SAME" or (
+        not isinstance(padding, str)
+        and tuple(tuple(p) for p in padding)
+        == tuple((k // 2, k // 2) for k in w.shape[:3]))
+    if _ENV_STRATEGY in (None, "winograd"):
+        from unet3d_tpu.ops.pallas.winograd_kernel import (
+            _MIN_WINOGRAD_CHANNELS, winograd_available, winograd_conv3d_stats)
+        if (x.shape[-1] >= _MIN_WINOGRAD_CHANNELS
+                and stride == (1, 1, 1)
+                and winograd_available(x.shape, w.shape, stride,
+                                       "SAME" if same_padding else padding)):
+            return winograd_conv3d_stats(x, w)
+    y = conv3d(x, w, stride, padding)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=(1, 2, 3)), jnp.sum(yf * yf, axis=(1, 2, 3))
+
+
 def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
            padding="SAME") -> jnp.ndarray:
     """Strategy-dispatching 3D convolution (NDHWC / DHWIO).
@@ -111,11 +136,23 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
         if pallas_conv3d_available(x.shape, w.shape, stride,
                                    "SAME" if same_padding else padding):
             return pallas_conv3d(x, w)
+    # Pallas Winograd-DH kernel: wins when the channel contraction feeds the
+    # MXU at K >= 96 (measured: 128ch@128^3 11.2 vs 12.9 ms, 96ch@64^3 3.9
+    # vs 4.5; K = N = 64 runs the MXU at 25% and LOSES — see
+    # tools/probe_winograd_tpu.py). Default-on for profitable shapes;
+    # UNET3D_TPU_CONV=decomp2d/xla opts out.
+    if _ENV_STRATEGY in (None, "winograd"):
+        from unet3d_tpu.ops.pallas.winograd_kernel import (
+            _MIN_WINOGRAD_CHANNELS, winograd_available, winograd_conv3d)
+        if (x.shape[-1] >= _MIN_WINOGRAD_CHANNELS
+                and winograd_available(x.shape, w.shape, stride,
+                                       "SAME" if same_padding else padding)):
+            return winograd_conv3d(x, w)
     # ALL kernel dims must be odd: the 2D taps pad H/W via "SAME", which for
     # an even kernel pads (0, 1) instead of the symmetric (k//2, k//2) the
     # explicit-pad contract promises
     eligible = (stride == (1, 1, 1) and same_padding
                 and all(k % 2 == 1 for k in w.shape[:3]) and w.shape[0] > 1)
-    if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas"):
+    if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas", "winograd"):
         return conv3d_decomp2d(x, w)
     return conv3d_xla(x, w, stride, padding)

@@ -57,6 +57,9 @@ def transform_weights_dh(w: jnp.ndarray, dtype) -> jnp.ndarray:
 def winograd_available(x_shape, w_shape, stride, padding) -> bool:
     if not _PALLAS_OK:
         return False
+    # Mosaic-lowered kernel: TPU only (CPU tests take the decomp2d path)
+    if jax.default_backend() != "tpu":
+        return False
     if tuple(stride) != (1, 1, 1) or padding != "SAME":
         return False
     if tuple(w_shape[:3]) != (3, 3, 3):
@@ -64,15 +67,67 @@ def winograd_available(x_shape, w_shape, stride, padding) -> bool:
     n, d, h, w, c = x_shape
     if d % 2 or h % 2:
         return False
-    return _pick_bh(h) is not None
+    return _pick_bh(h, w, c, w_shape[-1], 2) is not None
 
 
-def _pick_bh(h: int):
-    """H-tiles per grid step: 2*BH rows; H/2 must divide into BH blocks."""
+def _lane_pad(c: int) -> int:
+    return ((c + 127) // 128) * 128
+
+
+def _vmem_estimate(bh: int, w: int, c: int, cout: int, itemsize: int) -> int:
+    """Rough per-step VMEM residency (bytes): double-buffered input/output
+    blocks, transform intermediates, f32 output accumulators. Calibrated
+    against the compiler: bf16 c=128 bh=8 fits (measured), f32 c=128 bh=8
+    OOMs at 18M (measured)."""
+    cp, cop = _lane_pad(c), _lane_pad(cout)
+    in_blocks = 2 * (2 * 2 * bh * (w + 2) * cp) * itemsize * 2
+    out_block = (2 * 2 * bh * w * cop) * itemsize * 2
+    interm = (2 * 2 * bh * (w + 2) * cp) * itemsize * 4
+    acc = 4 * bh * w * cop * 4
+    return in_blocks + out_block + interm + acc
+
+
+_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def _pick_bh(h: int, w: int, c: int, cout: int, itemsize: int):
+    """H-tiles per grid step: 2*BH rows; H/2 must divide into BH blocks and
+    the working set must fit VMEM."""
     for bh in (8, 4, 2):
-        if (h // 2) % bh == 0:
+        if (h // 2) % bh == 0 and _vmem_estimate(bh, w, c, cout,
+                                                 itemsize) <= _VMEM_BUDGET:
             return bh
     return None
+
+
+def _kernel_with_stats(bh: int, w: int, c: int, cout: int, td: int, g_h: int,
+                       acc_dtype):
+    """Same as _kernel plus per-(item, channel) sum / sum-of-squares outputs
+    accumulated across grid steps — the fused instance-norm-stats epilogue
+    (PERF.md round-2 item 2): the norm's stats pass no longer re-reads the
+    conv output from HBM.
+
+    Stats block (1, 2, cout) keyed on the batch item: consecutive grid steps
+    of one item revisit the same block, so it stays VMEM-resident; zeroed on
+    the item's first step."""
+    AT = ((1, 1, 1, 0), (0, 1, -1, -1))
+    base = _kernel(bh, w, c, cout, acc_dtype)
+    del AT
+
+    def kernel(xa, xb, ha, hb, u2, o_ref, s_ref):
+        t = pl.program_id(0) % td
+        q = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(t == 0, q == 0))
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+
+        base(xa, xb, ha, hb, u2, o_ref)
+        y = o_ref[...].astype(acc_dtype)
+        s_ref[0, 0, :] += jnp.sum(y, axis=(0, 1, 2))
+        s_ref[0, 1, :] += jnp.sum(y * y, axis=(0, 1, 2))
+
+    return kernel
 
 
 def _kernel(bh: int, w: int, c: int, cout: int, acc_dtype):
@@ -146,7 +201,7 @@ def _winograd_batched(x: jnp.ndarray, w: jnp.ndarray,
     """x (N, D, H, W, C) NDHWC, w (3,3,3,C,Cout); stride-1 SAME conv."""
     n, d, h, wd, c = x.shape
     cout = w.shape[-1]
-    bh = _pick_bh(h)
+    bh = _pick_bh(h, wd, c, cout, x.dtype.itemsize)
     td = d // 2
     g_h = (h // 2) // bh
     # pad: D halo 1 per item, H halo 1, W halo 1 (W handled in-kernel by
@@ -195,6 +250,90 @@ def _winograd_batched(x: jnp.ndarray, w: jnp.ndarray,
     return out.reshape(n, d, h, wd, cout)
 
 
+@partial(jax.jit, static_argnames=("interpret",))
+def _winograd_batched_stats(x: jnp.ndarray, w: jnp.ndarray,
+                            interpret: bool = False):
+    """As _winograd_batched, plus f32 (sum, sum_sq) per (item, channel)."""
+    n, d, h, wd, c = x.shape
+    cout = w.shape[-1]
+    bh = _pick_bh(h, wd, c, cout, x.dtype.itemsize)
+    td = d // 2
+    g_h = (h // 2) // bh
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    xp = xp.reshape(n * (d + 2), h + 2, wd + 2, c)
+    u2 = transform_weights_dh(w, x.dtype)
+
+    def main_map(offset):
+        return lambda p, q: (p + (p // td) + offset, q, 0, 0)
+
+    def halo_map(offset):
+        return lambda p, q: (p + (p // td) + offset, (q + 1) * bh, 0, 0)
+
+    wp = wd + 2
+    kernel = _kernel_with_stats(bh, wd, c, cout, td, g_h, jnp.float32)
+    out, stats = pl.pallas_call(
+        kernel,
+        grid=(n * td, g_h),
+        in_specs=[
+            pl.BlockSpec((2, 2 * bh, wp, c), main_map(0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2 * bh, wp, c), main_map(1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, wp, c), halo_map(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, wp, c), halo_map(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, c, cout), lambda p, q: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((2, 2 * bh, wd, cout), lambda p, q: (p, q, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # one stats block per batch item, revisited (VMEM-resident)
+            # across that item's consecutive grid steps
+            pl.BlockSpec((1, 2, cout), lambda p, q: (p // td, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * d, h, wd, cout), x.dtype),
+            jax.ShapeDtypeStruct((n, 2, cout), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp, xp, xp, xp, u2)
+    return out.reshape(n, d, h, wd, cout), stats
+
+
+@jax.custom_vjp
+def winograd_conv3d_stats(x: jnp.ndarray, w: jnp.ndarray):
+    """Fused conv + instance-norm-stats epilogue: returns (y, sum, sum_sq)
+    with the f32 stats accumulated while the conv output block is still in
+    VMEM — the norm's stats pass never re-reads y from HBM."""
+    y, stats = _winograd_batched_stats(x, w)
+    return y, stats[:, 0], stats[:, 1]
+
+
+def _fwd_stats(x, w):
+    y, s1, s2 = winograd_conv3d_stats(x, w)
+    return (y, s1, s2), (x, w, y)
+
+
+def _bwd_stats(residuals, g):
+    x, w, y = residuals
+    gy, gs1, gs2 = g
+    # d/dy of (y, sum(y), sum(y^2)) contributions fold into one cotangent
+    gtot = (gy.astype(jnp.float32)
+            + gs1[:, None, None, None, :]
+            + 2.0 * y.astype(jnp.float32) * gs2[:, None, None, None, :])
+    gtot = gtot.astype(x.dtype)
+    dx = _dgrad(gtot, w, x.dtype)
+    from unet3d_tpu.ops.conv3d import conv3d_decomp2d
+
+    _, pull = jax.vjp(lambda ww: conv3d_decomp2d(x, ww), w)
+    dw, = pull(gtot)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+winograd_conv3d_stats.defvjp(_fwd_stats, _bwd_stats)
+
+
 @jax.custom_vjp
 def winograd_conv3d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Fused Winograd-DH conv: x (N,D,H,W,C), w (3,3,3,C,Cout), stride-1 SAME."""
@@ -205,21 +344,33 @@ def _fwd(x, w):
     return winograd_conv3d(x, w), (x, w)
 
 
+_MIN_WINOGRAD_CHANNELS = 96  # measured: K=N=64 runs the MXU at 25%, losing
+# to decomp2d; C>=96 wins (tools/probe_winograd_tpu.py)
+
+
+def _dgrad(g, w, x_dtype):
+    """dx = conv of g with spatially flipped, io-transposed weights — another
+    stride-1 SAME 3-cubed conv. Routed through the same profitability rule as
+    the forward: the dx conv's input channels are Cout of the primal."""
+    from unet3d_tpu.ops.conv3d import conv3d_decomp2d
+
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    g = g.astype(x_dtype)
+    if g.shape[-1] >= _MIN_WINOGRAD_CHANNELS:
+        return _winograd_batched(g, w_flip)
+    return conv3d_decomp2d(g, w_flip)
+
+
 def _bwd(residuals, g):
     x, w = residuals
-    # dx: conv of g with spatially flipped, io-transposed weights (another
-    # stride-1 SAME 3-cubed conv -> same Winograd kernel)
-    w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
-    dx = _winograd_batched(g.astype(x.dtype), w_flip)
-    # dw: correlation via XLA (well-shaped contraction there)
-    dw = jax.lax.conv_general_dilated(
-        jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))).transpose(4, 1, 2, 3, 0),
-        g.transpose(1, 2, 3, 0, 4),
-        window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).transpose(1, 2, 3, 0, 4).astype(w.dtype)
-    return dx.astype(x.dtype), dw
+    dx = _dgrad(g, w, x.dtype)
+    # dw: reuse XLA's autodiff of decomp2d — its per-tap 2D wgrad emitters
+    # measured far better than a hand-written 3D correlation here
+    from unet3d_tpu.ops.conv3d import conv3d_decomp2d
+
+    _, pull = jax.vjp(lambda ww: conv3d_decomp2d(x, ww), w)
+    dw, = pull(g.astype(x.dtype))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
 winograd_conv3d.defvjp(_fwd, _bwd)
