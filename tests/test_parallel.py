@@ -152,7 +152,11 @@ def test_flagship_six_level_sp_matches_single_device():
     space axis — which is exactly where odd-shard halo bugs would live."""
     model = _flagship_dynunet()
     variables = init_params(model, (32, 32, 32, 2))
-    tx = build_optimizer("Adam", lr=1e-2)
+    # SGD, not Adam: params move by lr*g, so the identity tolerance scales
+    # with the gradient itself. Adam's first step is lr*sign(g), which turns
+    # reduction-order noise on near-zero grads into full-step sign flips —
+    # a property of the optimizer, not of the sharding being tested.
+    tx = build_optimizer("sgd", lr=1e-1)
     state = create_train_state(variables, tx)
     rng = np.random.RandomState(0)
     images = rng.rand(2, 2, 32, 32, 32).astype(np.float32)
@@ -168,7 +172,7 @@ def test_flagship_six_level_sp_matches_single_device():
     s2, loss2 = sharded(state2, shard_batch(jnp.asarray(images), mesh),
                         shard_batch(jnp.asarray(labels), mesh))
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
-    # deepest and shallowest conv kernels both updated identically
+    # every parameter updated identically (deepest halo levels included)
     p1 = jax.device_get(s1.params)
     p2 = jax.device_get(s2.params)
     flat1 = {"/".join(map(str, k)): v for k, v in
@@ -177,11 +181,7 @@ def test_flagship_six_level_sp_matches_single_device():
              jax.tree_util.tree_flatten_with_path(p2)[0]}
     assert flat1.keys() == flat2.keys()
     for k in flat1:
-        # tolerance: 2% of the Adam step magnitude (lr=1e-2 -> |update| ~ 0.01).
-        # Halo-exchange reduction order perturbs near-zero grads at the
-        # 1-voxel-deep bottleneck; Adam's m/sqrt(v) normalization amplifies
-        # that to ~5e-5 on the first step. Real sharding bugs are >> this.
-        np.testing.assert_allclose(flat1[k], flat2[k], atol=2e-4,
+        np.testing.assert_allclose(flat1[k], flat2[k], atol=1e-5,
                                    err_msg=f"param {k} diverged")
 
 

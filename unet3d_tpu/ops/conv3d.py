@@ -97,10 +97,10 @@ def conv3d_with_stats(x: jnp.ndarray, w: jnp.ndarray,
         not isinstance(padding, str)
         and tuple(tuple(p) for p in padding)
         == tuple((k // 2, k // 2) for k in w.shape[:3]))
-    if _ENV_STRATEGY in (None, "winograd"):
+    if _ENV_STRATEGY == "winograd":
         from unet3d_tpu.ops.pallas.winograd_kernel import (
-            _MIN_WINOGRAD_CHANNELS, winograd_available, winograd_conv3d_stats)
-        if (x.shape[-1] >= _MIN_WINOGRAD_CHANNELS
+            winograd_available, winograd_conv3d_stats, winograd_profitable)
+        if (winograd_profitable(x.shape)
                 and stride == (1, 1, 1)
                 and winograd_available(x.shape, w.shape, stride,
                                        "SAME" if same_padding else padding)):
@@ -136,15 +136,18 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
         if pallas_conv3d_available(x.shape, w.shape, stride,
                                    "SAME" if same_padding else padding):
             return pallas_conv3d(x, w)
-    # Pallas Winograd-DH kernel: wins when the channel contraction feeds the
-    # MXU at K >= 96 (measured: 128ch@128^3 11.2 vs 12.9 ms, 96ch@64^3 3.9
-    # vs 4.5; K = N = 64 runs the MXU at 25% and LOSES — see
-    # tools/probe_winograd_tpu.py). Default-on for profitable shapes;
-    # UNET3D_TPU_CONV=decomp2d/xla opts out.
-    if _ENV_STRATEGY in (None, "winograd"):
+    # Pallas Winograd-DH kernel: OPT-IN (UNET3D_TPU_CONV=winograd). Wins
+    # op-level when the channel contraction feeds the MXU at K >= 96
+    # (128ch@128^3 11.2 vs 12.9 ms, 96ch@64^3 3.9 vs 4.5 — probe_winograd_
+    # tpu.py) but LOSES in the full train step: the custom call's forced
+    # operand layouts surround every site with layout-conversion and convert
+    # fusions the standalone probe never pays (step 210 vs 121.7 ms/step,
+    # trace in PERF.md round 3). Kept for inference-style graphs and bigger
+    # chips where the conv dominates its boundaries.
+    if _ENV_STRATEGY == "winograd":
         from unet3d_tpu.ops.pallas.winograd_kernel import (
-            _MIN_WINOGRAD_CHANNELS, winograd_available, winograd_conv3d)
-        if (x.shape[-1] >= _MIN_WINOGRAD_CHANNELS
+            winograd_available, winograd_conv3d, winograd_profitable)
+        if (winograd_profitable(x.shape)
                 and winograd_available(x.shape, w.shape, stride,
                                        "SAME" if same_padding else padding)):
             return winograd_conv3d(x, w)

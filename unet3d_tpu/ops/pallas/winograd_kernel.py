@@ -346,6 +346,18 @@ def _fwd(x, w):
 
 _MIN_WINOGRAD_CHANNELS = 96  # measured: K=N=64 runs the MXU at 25%, losing
 # to decomp2d; C>=96 wins (tools/probe_winograd_tpu.py)
+_MIN_WINOGRAD_VOXELS = 64 ** 3  # below this the pallas_call's fixed cost
+# (input pad materialization, grid setup, broken producer/consumer fusion)
+# dominates: dispatching the deep 32^3..4^3 levels measured 213 ms/step vs
+# 125.5 baseline (/tmp/bisect_step.log, r3) — the op-level wins only exist
+# at level-0/1 scale
+
+
+def winograd_profitable(x_shape) -> bool:
+    """Measured profitability gate on top of winograd_available."""
+    n, d, h, w, c = x_shape
+    return (c >= _MIN_WINOGRAD_CHANNELS
+            and d * h * w >= _MIN_WINOGRAD_VOXELS)
 
 
 def _dgrad(g, w, x_dtype):
@@ -356,7 +368,7 @@ def _dgrad(g, w, x_dtype):
 
     w_flip = jnp.flip(w, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     g = g.astype(x_dtype)
-    if g.shape[-1] >= _MIN_WINOGRAD_CHANNELS:
+    if winograd_profitable(g.shape):
         return _winograd_batched(g, w_flip)
     return conv3d_decomp2d(g, w_flip)
 

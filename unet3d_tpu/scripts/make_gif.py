@@ -70,12 +70,22 @@ def to_255(array: np.ndarray) -> np.ndarray:
 
 
 def _font(size: int):
-    font_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                             "misc", "fonts", "OpenSans-Bold.ttf")
-    try:
-        return ImageFont.truetype(font_file, size)
-    except OSError:
-        return ImageFont.load_default()
+    """Scalable bold font for the label annotation (the reference ships
+    OpenSans-Bold in misc/fonts; here a vendored font, then common system
+    bold fonts, then PIL's bitmap default)."""
+    base = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(base, "..", "misc", "fonts", "OpenSans-Bold.ttf"),
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+        "/usr/share/fonts/truetype/liberation/LiberationSans-Bold.ttf",
+        "/Library/Fonts/Arial Bold.ttf",
+    ]
+    for font_file in candidates:
+        try:
+            return ImageFont.truetype(font_file, size)
+        except OSError:
+            continue
+    return ImageFont.load_default()
 
 
 def annotate(img: Image.Image, text: str, size: int = 30) -> None:
