@@ -204,3 +204,66 @@ def test_generalized_dice_empty_class_uses_per_sample_max():
             pred[i:i + 1], jnp.asarray(target[i:i + 1]))
         np.testing.assert_allclose(np.asarray(loss_batched)[i],
                                    np.asarray(alone)[0], rtol=1e-6)
+
+
+# ---- round-3 registry breadth -----------------------------------------------
+
+def test_tversky_alpha_beta_half_equals_dice():
+    from unet3d_tpu.train.losses import TverskyLoss
+    pred, target = _pair(shape=(2, 4, 4, 4, 3))
+    tv = TverskyLoss(sigmoid=True, alpha=0.5, beta=0.5)
+    dice = DiceLoss(sigmoid=True)
+    # tp + 0.5 fp + 0.5 fn = 0.5 (|X| + |Y|): Tversky(0.5, 0.5) == Dice
+    np.testing.assert_allclose(float(tv(pred, target)),
+                               float(dice(pred, target)), rtol=1e-5)
+
+
+def test_tversky_asymmetry_penalizes_fn_more_with_high_beta():
+    from unet3d_tpu.train.losses import TverskyLoss
+    rng = np.random.RandomState(3)
+    target = jnp.asarray((rng.rand(1, 6, 6, 6, 1) > 0.5).astype(np.float32))
+    under = jnp.asarray(np.asarray(target) * 0.3)   # many FN, no FP
+    high_beta = TverskyLoss(alpha=0.1, beta=0.9)
+    low_beta = TverskyLoss(alpha=0.9, beta=0.1)
+    assert float(high_beta(under, target)) > float(low_beta(under, target))
+
+
+def test_masked_dice_ignores_masked_out_region():
+    from unet3d_tpu.train.losses import MaskedDiceLoss
+    rng = np.random.RandomState(4)
+    target = jnp.asarray((rng.rand(1, 4, 4, 4, 1) > 0.5).astype(np.float32))
+    pred = target.copy()
+    # corrupt one corner, then mask that corner out
+    corrupted = pred.at[0, :2, :2, :2, 0].set(1.0 - pred[0, :2, :2, :2, 0])
+    mask = jnp.ones_like(pred).at[0, :2, :2, :2, 0].set(0.0)
+    loss = MaskedDiceLoss()
+    masked = float(loss(corrupted, target, mask=mask))
+    clean = float(DiceLoss()(pred * mask, target * mask))
+    np.testing.assert_allclose(masked, clean, rtol=1e-6)
+    assert masked < float(loss(corrupted, target))  # unmasked sees the damage
+
+
+def test_nll_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(5)
+    logits = rng.randn(2, 4, 4, 4, 3).astype(np.float32)
+    labels = rng.randint(0, 3, size=(2, 4, 4, 4))
+    logp = np.asarray(jnp.asarray(logits) - jnp.log(
+        jnp.sum(jnp.exp(jnp.asarray(logits)), -1, keepdims=True)))
+    onehot = np.eye(3, dtype=np.float32)[labels]
+    from unet3d_tpu.train.losses import NLLLoss
+    ours = float(NLLLoss(weight=[1.0, 2.0, 0.5])(jnp.asarray(logp), jnp.asarray(onehot)))
+    t = torch.nn.NLLLoss(weight=torch.tensor([1.0, 2.0, 0.5]))(
+        torch.tensor(logp).permute(0, 4, 1, 2, 3), torch.tensor(labels))
+    np.testing.assert_allclose(ours, float(t), rtol=1e-5)
+
+
+def test_huber_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(6)
+    pred = rng.randn(3, 5).astype(np.float32) * 2
+    target = rng.randn(3, 5).astype(np.float32)
+    from unet3d_tpu.train.losses import HuberLoss
+    ours = float(HuberLoss(delta=1.3)(jnp.asarray(pred), jnp.asarray(target)))
+    t = torch.nn.HuberLoss(delta=1.3)(torch.tensor(pred), torch.tensor(target))
+    np.testing.assert_allclose(ours, float(t), rtol=1e-6)

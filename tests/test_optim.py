@@ -100,3 +100,87 @@ def test_compile_cache_opt_in(monkeypatch, tmp_path):
     assert jax.config.jax_compilation_cache_dir == str(cache)
     # restore: don't leak the cache config into other tests
     jax.config.update("jax_compilation_cache_dir", None)
+
+
+# ---- round-3 registry breadth: torch.optim trajectory parity ----------------
+
+def _torch_vs_optax(name, torch_cls, steps=5, lr=1e-2, kwargs=None, tkwargs=None,
+                    tol=1e-5):
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(4, 3).astype(np.float32)
+    grads = [rng.randn(4, 3).astype(np.float32) for _ in range(steps)]
+
+    tp = torch.tensor(p0.copy(), requires_grad=True)
+    topt = torch_cls([tp], lr=lr, **(tkwargs or {}))
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    import jax
+    import jax.numpy as jnp
+    params = {"w": jnp.asarray(p0)}
+    tx = build_optimizer(name, lr=lr, **(kwargs or {}))
+    state = tx.init(params)
+    for g in grads:
+        upd, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+    np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
+                               atol=tol, rtol=tol)
+
+
+def test_adagrad_matches_torch():
+    import torch
+    _torch_vs_optax("Adagrad", torch.optim.Adagrad)
+
+
+def test_adadelta_matches_torch():
+    import torch
+    _torch_vs_optax("Adadelta", torch.optim.Adadelta)
+
+
+def test_adamax_matches_torch_with_weight_decay():
+    import torch
+    _torch_vs_optax("Adamax", torch.optim.Adamax,
+                    kwargs={"weight_decay": 0.01}, tkwargs={"weight_decay": 0.01})
+
+
+def test_nadam_matches_torch_including_momentum_decay():
+    import torch
+    # the psi schedule is the part optax's nadam lacks; ours implements it
+    _torch_vs_optax("NAdam", torch.optim.NAdam, steps=7, tol=1e-4)
+
+
+def test_radam_matches_torch():
+    import torch
+    # first steps exercise the SGD-fallback region of RAdam's rectification
+    _torch_vs_optax("RAdam", torch.optim.RAdam, steps=7)
+
+
+def test_linear_lr_ramp():
+    s = build_scheduler("LinearLR", 1.0, start_factor=0.5, total_iters=4)
+    assert s.lr == pytest.approx(0.5)
+    lrs = [s.step() for _ in range(5)]
+    np.testing.assert_allclose(lrs, [0.625, 0.75, 0.875, 1.0, 1.0])
+
+
+def test_constant_lr_releases_after_total_iters():
+    s = build_scheduler("ConstantLR", 1.0, factor=0.25, total_iters=3)
+    assert s.lr == pytest.approx(0.25)
+    lrs = [s.step() for _ in range(4)]
+    np.testing.assert_allclose(lrs, [0.25, 0.25, 1.0, 1.0])
+
+
+def test_cosine_warm_restarts_matches_torch():
+    torch = pytest.importorskip("torch")
+    base = 1.0
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=3, T_mult=2, eta_min=0.1)
+    ours = build_scheduler("CosineAnnealingWarmRestarts", base, T_0=3, T_mult=2,
+                           eta_min=0.1)
+    for _ in range(12):
+        tsched.step()
+        np.testing.assert_allclose(ours.step(), tsched.get_last_lr()[0],
+                                   rtol=1e-6, err_msg=f"epoch {ours.last_epoch}")

@@ -313,6 +313,86 @@ class SmoothL1Loss:
         return _reduce(loss, self.reduction)
 
 
+class TverskyLoss:
+    """MONAI TverskyLoss: asymmetric Dice with FP weight ``alpha`` and FN
+    weight ``beta`` (monai/losses/tversky.py semantics)."""
+
+    def __init__(self, include_background: bool = True, sigmoid: bool = False,
+                 softmax: bool = False, alpha: float = 0.5, beta: float = 0.5,
+                 batch: bool = False, smooth_nr: float = 1e-5,
+                 smooth_dr: float = 1e-5, reduction: str = "mean"):
+        self.include_background = include_background
+        self.sigmoid = sigmoid
+        self.softmax = softmax
+        self.alpha = alpha
+        self.beta = beta
+        self.batch = batch
+        self.smooth_nr = smooth_nr
+        self.smooth_dr = smooth_dr
+        self.reduction = reduction
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        pred = _apply_activation(pred, self.sigmoid, self.softmax)
+        pred, target = _drop_background(pred, target, self.include_background)
+        target = target.astype(pred.dtype)
+        spatial = tuple(range(1, pred.ndim - 1))
+        axes = ((0,) + spatial) if self.batch else spatial
+        tp = _sum32(pred * target, axis=axes)
+        fp = self.alpha * _sum32(pred * (1.0 - target), axis=axes)
+        fn = self.beta * _sum32((1.0 - pred) * target, axis=axes)
+        score = (tp + self.smooth_nr) / (tp + fp + fn + self.smooth_dr)
+        return _reduce(1.0 - score, self.reduction)
+
+
+class MaskedDiceLoss(DiceLoss):
+    """MONAI MaskedDiceLoss: DiceLoss over ``pred*mask`` / ``target*mask``.
+    The mask rides in as an optional third argument (or broadcastable array
+    attribute set per-batch); with no mask it is plain DiceLoss."""
+
+    def __call__(self, pred, target, mask=None):
+        if mask is not None:
+            mask = mask.astype(pred.dtype)
+            pred = pred * mask
+            target = target.astype(pred.dtype) * mask
+        return super().__call__(pred, target)
+
+
+class NLLLoss:
+    """torch.nn.NLLLoss over channel-last log-probability inputs with
+    one-hot/probability targets (matching this module's CrossEntropyLoss
+    target convention)."""
+
+    def __init__(self, weight=None, reduction: str = "mean"):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.reduction = reduction
+
+    def __call__(self, pred, target):
+        pred = _f32(pred)
+        target = target.astype(pred.dtype)
+        loss = -jnp.sum(target * pred, axis=-1)
+        if self.weight is not None:
+            w = jnp.sum(target * self.weight, axis=-1)
+            if self.reduction == "mean":
+                return jnp.sum(loss * w) / jnp.sum(w)
+            loss = loss * w
+        return _reduce(loss, self.reduction)
+
+
+class HuberLoss:
+    """torch.nn.HuberLoss: 0.5*d^2 for |d|<delta, else delta*(|d|-0.5*delta)."""
+
+    def __init__(self, reduction: str = "mean", delta: float = 1.0):
+        self.reduction = reduction
+        self.delta = delta
+
+    def __call__(self, pred, target):
+        pred = _f32(pred)
+        diff = jnp.abs(pred - target.astype(pred.dtype))
+        loss = jnp.where(diff < self.delta, 0.5 * diff ** 2,
+                         self.delta * (diff - 0.5 * self.delta))
+        return _reduce(loss, self.reduction)
+
+
 class VAELoss:
     """Reconstruction + beta * KL for the VAE family (framework extension; the
     reference's custom-loss home `unet3d/losses/losses.py` is intentionally empty)."""
@@ -342,6 +422,10 @@ LOSS_REGISTRY = {
     "MSELoss": MSELoss,
     "L1Loss": L1Loss,
     "SmoothL1Loss": SmoothL1Loss,
+    "TverskyLoss": TverskyLoss,
+    "MaskedDiceLoss": MaskedDiceLoss,
+    "NLLLoss": NLLLoss,
+    "HuberLoss": HuberLoss,
     "VAELoss": VAELoss,
 }
 

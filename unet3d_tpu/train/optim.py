@@ -14,9 +14,54 @@ without forcing an optax schedule-by-step mapping.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import optax
+
+
+class _NadamState(NamedTuple):
+    count: "jax.Array"
+    mu_product: "jax.Array"
+    m: "optax.Updates"
+    v: "optax.Updates"
+
+
+def _torch_nadam(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                 momentum_decay=4e-3) -> optax.GradientTransformation:
+    """torch.optim.NAdam exactly, including the psi momentum-decay schedule
+    (mu_t = b1*(1 - 0.5*0.96^(t*psi))) that optax's Dozat-form nadam omits —
+    verified step-for-step against torch (tests/test_optim.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _NadamState(count=jnp.zeros([], jnp.int32),
+                           mu_product=jnp.ones([], jnp.float32),
+                           m=zeros, v=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (tf * momentum_decay))
+        mu_t1 = b1 * (1.0 - 0.5 * 0.96 ** ((tf + 1.0) * momentum_decay))
+        mu_prod = state.mu_product * mu_t
+        m = jax.tree_util.tree_map(lambda mm, g: b1 * mm + (1 - b1) * g,
+                                   state.m, updates)
+        v = jax.tree_util.tree_map(lambda vv, g: b2 * vv + (1 - b2) * g * g,
+                                   state.v, updates)
+        bias2 = 1.0 - b2 ** tf
+
+        def leaf(mm, vv, g):
+            m_hat = (mu_t1 * mm / (1.0 - mu_prod * mu_t1)
+                     + (1.0 - mu_t) * g / (1.0 - mu_prod))
+            return -learning_rate * m_hat / (jnp.sqrt(vv / bias2) + eps)
+
+        out = jax.tree_util.tree_map(leaf, m, v, updates)
+        return out, _NadamState(count=t, mu_product=mu_prod, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
 
 
 def build_optimizer(optimizer_name: str, lr: float = 1e-3, **kwargs) -> optax.GradientTransformation:
@@ -58,6 +103,55 @@ def build_optimizer(optimizer_name: str, lr: float = 1e-3, **kwargs) -> optax.Gr
         momentum = kwargs.pop("momentum", 0.0)
         tx = lambda learning_rate: optax.rmsprop(learning_rate, decay=alpha, eps=eps,
                                                  momentum=momentum or None)
+    elif name == "adagrad":
+        # torch.optim.Adagrad defaults: initial_accumulator_value=0, eps=1e-10
+        eps = kwargs.pop("eps", 1e-10)
+        init_acc = kwargs.pop("initial_accumulator_value", 0.0)
+        if kwargs.pop("lr_decay", 0.0):
+            raise TypeError("Adagrad lr_decay is not supported on this backend")
+        tx = lambda learning_rate: optax.adagrad(
+            learning_rate, initial_accumulator_value=init_acc, eps=eps)
+    elif name == "adadelta":
+        rho = kwargs.pop("rho", 0.9)
+        eps = kwargs.pop("eps", 1e-6)
+        weight_decay = kwargs.pop("weight_decay", 0.0)
+        tx = lambda learning_rate: optax.adadelta(learning_rate, rho=rho, eps=eps,
+                                                  weight_decay=weight_decay)
+    elif name == "adamax":
+        betas = kwargs.pop("betas", (0.9, 0.999))
+        eps = kwargs.pop("eps", 1e-8)
+        weight_decay = kwargs.pop("weight_decay", 0.0)
+
+        def tx(learning_rate):
+            parts = []
+            if weight_decay:
+                parts.append(optax.add_decayed_weights(weight_decay))
+            parts.append(optax.adamax(learning_rate, b1=betas[0], b2=betas[1], eps=eps))
+            return optax.chain(*parts)
+    elif name == "nadam":
+        betas = kwargs.pop("betas", (0.9, 0.999))
+        eps = kwargs.pop("eps", 1e-8)
+        weight_decay = kwargs.pop("weight_decay", 0.0)
+        momentum_decay = kwargs.pop("momentum_decay", 4e-3)
+
+        def tx(learning_rate):
+            parts = []
+            if weight_decay:
+                parts.append(optax.add_decayed_weights(weight_decay))
+            parts.append(_torch_nadam(learning_rate, b1=betas[0], b2=betas[1],
+                                      eps=eps, momentum_decay=momentum_decay))
+            return optax.chain(*parts)
+    elif name == "radam":
+        betas = kwargs.pop("betas", (0.9, 0.999))
+        eps = kwargs.pop("eps", 1e-8)
+        weight_decay = kwargs.pop("weight_decay", 0.0)
+
+        def tx(learning_rate):
+            parts = []
+            if weight_decay:
+                parts.append(optax.add_decayed_weights(weight_decay))
+            parts.append(optax.radam(learning_rate, b1=betas[0], b2=betas[1], eps=eps))
+            return optax.chain(*parts)
     else:
         raise ValueError(f"Optimizer {optimizer_name} is not supported")
     if kwargs:
@@ -206,6 +300,65 @@ class ReduceLROnPlateau(Scheduler):
         return self.lr
 
 
+class LinearLR(Scheduler):
+    """torch LinearLR: factor ramps start_factor -> end_factor over total_iters."""
+
+    def __init__(self, base_lr: float, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5):
+        super().__init__(base_lr)
+        self.start_factor = start_factor
+        self.end_factor = end_factor
+        self.total_iters = total_iters
+        self.lr = base_lr * start_factor
+
+    def _compute_lr(self):
+        t = min(self.last_epoch, self.total_iters)
+        factor = (self.start_factor
+                  + (self.end_factor - self.start_factor) * t / self.total_iters)
+        return self.base_lr * factor
+
+
+class ConstantLR(Scheduler):
+    """torch ConstantLR: lr * factor until total_iters, then base lr."""
+
+    def __init__(self, base_lr: float, factor: float = 1.0 / 3,
+                 total_iters: int = 5):
+        super().__init__(base_lr)
+        self.factor = factor
+        self.total_iters = total_iters
+        self.lr = base_lr * factor
+
+    def _compute_lr(self):
+        return self.base_lr * (self.factor if self.last_epoch < self.total_iters
+                               else 1.0)
+
+
+class CosineAnnealingWarmRestarts(Scheduler):
+    """torch semantics with whole-epoch steps: restart every T_i epochs where
+    T_{i+1} = T_i * T_mult."""
+
+    def __init__(self, base_lr: float, T_0: int, T_mult: int = 1,
+                 eta_min: float = 0.0):
+        super().__init__(base_lr)
+        if T_0 <= 0 or T_mult < 1:
+            raise ValueError("CosineAnnealingWarmRestarts requires T_0 > 0, T_mult >= 1")
+        self.T_0 = T_0
+        self.T_mult = T_mult
+        self.eta_min = eta_min
+
+    def _compute_lr(self):
+        e = self.last_epoch
+        if self.T_mult == 1:
+            t_cur = e % self.T_0
+            t_i = self.T_0
+        else:
+            n = int(math.log(e / self.T_0 * (self.T_mult - 1) + 1, self.T_mult))
+            t_cur = e - self.T_0 * (self.T_mult ** n - 1) // (self.T_mult - 1)
+            t_i = self.T_0 * self.T_mult ** n
+        return (self.eta_min + (self.base_lr - self.eta_min)
+                * (1 + math.cos(math.pi * t_cur / t_i)) / 2)
+
+
 SCHEDULER_REGISTRY = {
     "StepLR": StepLR,
     "MultiStepLR": MultiStepLR,
@@ -213,6 +366,9 @@ SCHEDULER_REGISTRY = {
     "CosineAnnealingLR": CosineAnnealingLR,
     "PolynomialLR": PolynomialLR,
     "ReduceLROnPlateau": ReduceLROnPlateau,
+    "LinearLR": LinearLR,
+    "ConstantLR": ConstantLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
 }
 
 
