@@ -63,12 +63,21 @@ class Convolution(nn.Module):
     dropout: float = 0.0
     is_transposed: bool = False
     conv_only: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.is_transposed:
             x = transposed_conv(self.features, self.kernel_size, self.strides,
                                 output_padding=self.strides - 1, name="conv")(x)
+        elif self.dilation != 1:
+            # dilated stages (AutoEncoder intermediate blocks) go through the
+            # XLA conv directly; the decomp2d path assumes dilation 1
+            x = nn.Conv(self.features, (self.kernel_size,) * 3,
+                        strides=(self.strides,) * 3,
+                        kernel_dilation=(self.dilation,) * 3,
+                        padding=[((self.kernel_size - 1) // 2 * self.dilation,)
+                                 * 2] * 3, name="conv")(x)
         else:
             x = FastConv(self.features, (self.kernel_size,) * 3,
                          strides=(self.strides,) * 3, name="conv")(x)
@@ -88,6 +97,7 @@ class ResidualUnit(nn.Module):
     norm: str = "instance"
     dropout: float = 0.0
     last_conv_only: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -95,8 +105,16 @@ class ResidualUnit(nn.Module):
         y = x
         for i in range(max(1, self.subunits)):
             strides = self.strides if i == 0 else 1
-            y = FastConv(self.features, (self.kernel_size,) * 3,
-                         strides=(strides,) * 3, name=f"conv{i}")(y)
+            if self.dilation != 1:
+                y = nn.Conv(self.features, (self.kernel_size,) * 3,
+                            strides=(strides,) * 3,
+                            kernel_dilation=(self.dilation,) * 3,
+                            padding=[((self.kernel_size - 1) // 2
+                                      * self.dilation,) * 2] * 3,
+                            name=f"conv{i}")(y)
+            else:
+                y = FastConv(self.features, (self.kernel_size,) * 3,
+                             strides=(strides,) * 3, name=f"conv{i}")(y)
             if not (self.last_conv_only and i == self.subunits - 1):
                 y = _norm_act(y, self.norm, self.act, self.dropout, train, self, i)
         if self.strides != 1 or identity.shape[-1] != self.features:

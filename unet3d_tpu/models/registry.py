@@ -23,6 +23,9 @@ from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.fcn import FCN
 from unet3d_tpu.models.graph import GraphCMR
 from unet3d_tpu.models.highresnet import HighResNet
+from unet3d_tpu.models.monai_autoencoder import AutoEncoder, VarAutoEncoder
+from unet3d_tpu.models.monai_heads import (Classifier, Critic, Discriminator,
+                                           Generator, Regressor)
 from unet3d_tpu.models.monai_unet import UNet
 from unet3d_tpu.models.segresnet import SegResNet, SegResNetVAE
 from unet3d_tpu.models.segresnet_ds import SegResNetDS
@@ -32,6 +35,7 @@ from unet3d_tpu.models.unet import AutocastUNet, AutoImplantUNet, UNet3D
 from unet3d_tpu.models.variational import (ConvolutionalAutoEncoder,
                                            LabeledVariationalAutoEncoder,
                                            VariationalAutoEncoder)
+from unet3d_tpu.models.vit import ViT, ViTAutoEnc
 from unet3d_tpu.models.vnet import VNet
 from unet3d_tpu.models.vqvae2 import VQVAE
 
@@ -51,6 +55,15 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "AttentionUnet": AttentionUnet,
     "VNet": VNet,
     "HighResNet": HighResNet,
+    "ViT": ViT,
+    "ViTAutoEnc": ViTAutoEnc,
+    "AutoEncoder": AutoEncoder,
+    "VarAutoEncoder": VarAutoEncoder,
+    "Regressor": Regressor,
+    "Classifier": Classifier,
+    "Discriminator": Discriminator,
+    "Critic": Critic,
+    "Generator": Generator,
     "ConvolutionalAutoEncoder": ConvolutionalAutoEncoder,
     "VariationalAutoEncoder": VariationalAutoEncoder,
     "LabeledVariationalAutoEncoder": LabeledVariationalAutoEncoder,
