@@ -147,3 +147,39 @@ def test_classifier_trains_one_step():
     assert np.isfinite(float(l0))
     leaves = jax.tree_util.tree_leaves(g)
     assert sum(float(jnp.abs(x).sum()) for x in leaves) > 0
+
+
+def test_efficientnet_b0_forward_and_train():
+    m = create_model("EfficientNetBN", model_name="efficientnet-b0",
+                     in_channels=1, num_classes=3)
+    v = init_params(m, (32, 32, 32, 1))
+    x = _rand((2, 32, 32, 32, 1))
+    logits = m.apply(v, x, False)
+    assert logits.shape == (2, 3)
+    # train mode: batch_stats mutate, dropout/drop-connect rngs thread
+    out, updates = m.apply(v, x, True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out.shape == (2, 3)
+    before = np.asarray(v["batch_stats"]["stem_bn"]["mean"])
+    after = np.asarray(updates["batch_stats"]["stem_bn"]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_efficientnet_width_scaling():
+    # b2 widens: round_filters(32, 1.1) = 32, round_filters(1280, 1.1) = 1408
+    from unet3d_tpu.models.efficientnet import _round_filters, _round_repeats
+    assert _round_filters(32, 1.0) == 32
+    assert _round_filters(1280, 1.1) == 1408
+    assert _round_filters(16, 1.4) == 24   # b4 first stage
+    assert _round_repeats(2, 1.2) == 3
+    m = create_model("EfficientNetBN", model_name="efficientnet-b4",
+                     in_channels=1, num_classes=2)
+    v = init_params(m, (32, 32, 32, 1))
+    k = v["params"]["block0_0"]["project_conv"]["kernel"]
+    assert k.shape[-1] == 24
+
+
+def test_efficientnet_unknown_variant_raises():
+    m = create_model("EfficientNetBN", model_name="efficientnet-z9")
+    with pytest.raises(ValueError, match="efficientnet-z9"):
+        init_params(m, (32, 32, 32, 1))

@@ -20,6 +20,7 @@ from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
 from unet3d_tpu.models.densenet import (DenseNet, DenseNet121, DenseNet169,
                                         DenseNet201, DenseNet264)
 from unet3d_tpu.models.dynunet import DynUNet
+from unet3d_tpu.models.efficientnet import EfficientNetBN
 from unet3d_tpu.models.fcn import FCN
 from unet3d_tpu.models.graph import GraphCMR
 from unet3d_tpu.models.highresnet import HighResNet
@@ -55,6 +56,7 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "AttentionUnet": AttentionUnet,
     "VNet": VNet,
     "HighResNet": HighResNet,
+    "EfficientNetBN": EfficientNetBN,
     "ViT": ViT,
     "ViTAutoEnc": ViTAutoEnc,
     "AutoEncoder": AutoEncoder,
@@ -120,8 +122,11 @@ def fetch_model_by_name(model_name: str):
                      f"supported names: {', '.join(supported)}")
 
 
-def create_model(model_name: str, **kwargs):
-    """Instantiate a model module from config-section kwargs."""
+def create_model(model_name: str, /, **kwargs):
+    """Instantiate a model module from config-section kwargs.
+
+    Positional-only first arg: MONAI's EfficientNetBN takes its variant as a
+    ``model_name`` kwarg, which must pass through to the module untouched."""
     cls = fetch_model_by_name(model_name)
     kwargs = {k: _freeze_lists(v) for k, v in kwargs.items()}
     return cls(**kwargs)
