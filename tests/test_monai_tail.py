@@ -183,3 +183,33 @@ def test_efficientnet_unknown_variant_raises():
     m = create_model("EfficientNetBN", model_name="efficientnet-z9")
     with pytest.raises(ValueError, match="efficientnet-z9"):
         init_params(m, (32, 32, 32, 1))
+
+
+def test_basicunetplusplus_forward_and_deep_supervision():
+    fea = [4, 4, 8, 16, 32, 4]
+    m = create_model("BasicUNetPlusPlus", in_channels=2, out_channels=3,
+                     features=fea, deep_supervision=True)
+    v = init_params(m, (16, 16, 16, 2))
+    x = _rand((1, 16, 16, 16, 2))
+    ye = m.apply(v, x, False)
+    assert ye.shape == (1, 16, 16, 16, 3)          # eval: final head only
+    yt = m.apply(v, x, True)
+    assert yt.shape == (1, 4, 16, 16, 16, 3)       # train: 4 stacked heads
+
+    def loss(params):
+        y = m.apply({"params": params}, x, True)
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    # deep supervision feeds gradients into the first nested column
+    leaf = np.asarray(g["upcat_0_1"]["convs"]["conv_0"]["conv"]["kernel"])
+    assert np.abs(leaf).sum() > 0
+
+
+def test_basicunetplusplus_no_ds_single_head():
+    fea = [4, 4, 8, 16, 32, 4]
+    m = create_model("BasicUnetPlusPlus", in_channels=1, out_channels=1,
+                     features=fea)
+    v = init_params(m, (16, 16, 16, 1))
+    y = m.apply(v, _rand((1, 16, 16, 16, 1)), True)
+    assert y.shape == (1, 16, 16, 16, 1)

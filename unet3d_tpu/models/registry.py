@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from unet3d_tpu.models import resnet as resnet_lib
 from unet3d_tpu.models.attentionunet import AttentionUnet
 from unet3d_tpu.models.basicunet import BasicUNet
+from unet3d_tpu.models.basicunetplusplus import BasicUNetPlusPlus
 from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
                                       ResNetWithDecoder1D)
 from unet3d_tpu.models.densenet import (DenseNet, DenseNet121, DenseNet169,
@@ -53,6 +54,8 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "SwinUNETR": SwinUNETR,
     "UNet": UNet,
     "BasicUNet": BasicUNet,
+    "BasicUNetPlusPlus": BasicUNetPlusPlus,
+    "BasicUnetPlusPlus": BasicUNetPlusPlus,   # MONAI exports both casings
     "AttentionUnet": AttentionUnet,
     "VNet": VNet,
     "HighResNet": HighResNet,
