@@ -29,6 +29,7 @@ from unet3d_tpu.models.monai_autoencoder import AutoEncoder, VarAutoEncoder
 from unet3d_tpu.models.monai_heads import (Classifier, Critic, Discriminator,
                                            Generator, Regressor)
 from unet3d_tpu.models.monai_unet import UNet
+from unet3d_tpu.models.regunet import GlobalNet, LocalNet, RegUNet
 from unet3d_tpu.models.segresnet import SegResNet, SegResNetVAE
 from unet3d_tpu.models.segresnet_ds import SegResNetDS
 from unet3d_tpu.models.swin_unetr import SwinUNETR
@@ -60,6 +61,9 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "VNet": VNet,
     "HighResNet": HighResNet,
     "EfficientNetBN": EfficientNetBN,
+    "RegUNet": RegUNet,
+    "GlobalNet": GlobalNet,
+    "LocalNet": LocalNet,
     "ViT": ViT,
     "ViTAutoEnc": ViTAutoEnc,
     "AutoEncoder": AutoEncoder,
@@ -106,7 +110,7 @@ def _freeze_lists(value):
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
 _KNOWN_MONAI_UNIMPLEMENTED = (
-    "AHNet", "RegUNet", "DiNTS", "QuickNAT",
+    "AHNet", "DiNTS", "QuickNAT",
 )
 
 
