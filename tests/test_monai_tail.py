@@ -213,3 +213,113 @@ def test_basicunetplusplus_no_ds_single_head():
     v = init_params(m, (16, 16, 16, 1))
     y = m.apply(v, _rand((1, 16, 16, 16, 1)), True)
     assert y.shape == (1, 16, 16, 16, 1)
+
+
+# ---------------------------------------------------------------------------
+# Final namespace tail: Quicknat, AHNet, DiNTS (round 3)
+# ---------------------------------------------------------------------------
+
+def test_quicknat_slice_and_volume_shapes():
+    net = create_model("Quicknat", num_classes=5, num_channels=1,
+                       num_filters=8)
+    x2 = _rand((2, 32, 32, 1))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x2, False)
+    assert net.apply(v, x2, False).shape == (2, 32, 32, 5)
+    # NDHWC volume: depth folds into the batch, restored on output
+    x3 = _rand((1, 4, 32, 32, 1))
+    assert net.apply(v, x3, False).shape == (1, 4, 32, 32, 5)
+
+
+def test_quicknat_unpool_scatters_to_argmax_positions():
+    from unet3d_tpu.models.quicknat import _pool_with_mask, _unpool
+    x = _rand((2, 8, 8, 3), seed=3)
+    pooled, mask = _pool_with_mask(x, 2)
+    # exactly one winner per 2x2 window
+    assert float(mask.sum()) == 2 * 4 * 4 * 3
+    up = _unpool(pooled, mask, 2)
+    # values land only on winner positions and reproduce the window max
+    assert np.allclose(np.asarray(up).max(axis=(1, 2)),
+                       np.asarray(x).max(axis=(1, 2)))
+    assert float(jnp.where(mask > 0, up, 0.0).sum()) == pytest.approx(
+        float(pooled.sum()), rel=1e-5)
+
+
+@pytest.mark.parametrize("se", ["CSE", "SSE", "CSSE"])
+def test_quicknat_se_blocks_train_one_step(se):
+    net = create_model("Quicknat", num_classes=2, num_filters=4, se_block=se,
+                       drop_out=0.1)
+    x = _rand((1, 32, 32, 1))
+    v = net.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, x, False)
+
+    def loss_fn(p):
+        y = net.apply({"params": p}, x, True,
+                      rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss_fn)(v["params"])
+    norms = [float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(norms))
+    assert sum(n > 0 for n in norms) > len(norms) // 2
+
+
+def test_ahnet_forward_and_train():
+    net = create_model("AHNet", in_channels=2, out_channels=3,
+                       layers=(1, 1, 1, 1), psp_block_num=2)
+    x = _rand((1, 32, 32, 8, 2))
+    v = init_params(net, (32, 32, 8, 2))
+    y = net.apply(v, x, False)
+    assert y.shape == (1, 32, 32, 8, 3)
+
+    def loss_fn(p):
+        out, _ = net.apply({**v, "params": p}, x, True,
+                           mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss_fn)(v["params"])
+    assert all(np.isfinite(float(jnp.abs(l).sum()))
+               for l in jax.tree_util.tree_leaves(g))
+
+
+def test_ahnet_contract_errors():
+    with pytest.raises(NotImplementedError):
+        create_model("AHNet", pretrained=True).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4, 1)), False)
+    with pytest.raises(ValueError):  # in-plane dims must divide 16
+        create_model("AHNet", layers=(1, 1, 1, 1)).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 24, 32, 4, 1)), False)
+
+
+def test_dints_default_space_forward():
+    net = create_model("DiNTS", in_channels=1, num_classes=4)
+    x = _rand((1, 16, 16, 16, 1))
+    v = init_params(net, (16, 16, 16, 1))
+    y = net.apply(v, x, False)
+    assert y.shape == (1, 16, 16, 16, 4)
+
+
+def test_dints_arch_code_controls_topology():
+    from unet3d_tpu.models.dints import DiNTS, TopologyInstance
+    # 7 edges at num_depths=3; keep a sparse subset with P3D ops
+    code_a = [[1, 0, 1, 0, 1, 0, 1]] * 3
+    code_c = [[2, 0, 3, 0, 4, 0, 1]] * 3
+    space = TopologyInstance(arch_code=(code_a, code_c), num_blocks=3)
+    net = DiNTS(dints_space=space, num_classes=2)
+    x = _rand((1, 16, 16, 16, 1))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, False)
+    assert net.apply(v, x, False).shape == (1, 16, 16, 16, 2)
+    # sparse topology has strictly fewer edge parameters than the full one
+    full = DiNTS(num_classes=2)
+    vf = full.init({"params": jax.random.PRNGKey(0)}, x, False)
+    n = lambda tree: sum(int(np.prod(l.shape))
+                         for l in jax.tree_util.tree_leaves(tree))
+    assert n(v["params"]) < n(vf["params"])
+
+
+def test_dints_invalid_arch_code_raises():
+    from unet3d_tpu.models.dints import TopologyInstance
+    # depth 2 receives no active input edge
+    code_a = [[1, 1, 1, 1, 1, 0, 0]] * 6
+    code_c = [[1] * 7] * 6
+    with pytest.raises(ValueError):
+        TopologyInstance(arch_code=(code_a, code_c))

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from unet3d_tpu.models import resnet as resnet_lib
+from unet3d_tpu.models.ahnet import AHNet
 from unet3d_tpu.models.attentionunet import AttentionUnet
 from unet3d_tpu.models.basicunet import BasicUNet
 from unet3d_tpu.models.basicunetplusplus import BasicUNetPlusPlus
@@ -20,6 +21,7 @@ from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
                                       ResNetWithDecoder1D)
 from unet3d_tpu.models.densenet import (DenseNet, DenseNet121, DenseNet169,
                                         DenseNet201, DenseNet264)
+from unet3d_tpu.models.dints import DiNTS, TopologyInstance
 from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.efficientnet import EfficientNetBN
 from unet3d_tpu.models.fcn import FCN
@@ -29,6 +31,7 @@ from unet3d_tpu.models.monai_autoencoder import AutoEncoder, VarAutoEncoder
 from unet3d_tpu.models.monai_heads import (Classifier, Critic, Discriminator,
                                            Generator, Regressor)
 from unet3d_tpu.models.monai_unet import UNet
+from unet3d_tpu.models.quicknat import Quicknat
 from unet3d_tpu.models.regunet import GlobalNet, LocalNet, RegUNet
 from unet3d_tpu.models.segresnet import SegResNet, SegResNetVAE
 from unet3d_tpu.models.segresnet_ds import SegResNetDS
@@ -58,6 +61,12 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "BasicUNetPlusPlus": BasicUNetPlusPlus,
     "BasicUnetPlusPlus": BasicUNetPlusPlus,   # MONAI exports both casings
     "AttentionUnet": AttentionUnet,
+    "AHNet": AHNet,
+    "AHnet": AHNet,          # MONAI exports AHNet/AHnet/Ahnet aliases
+    "Ahnet": AHNet,
+    "DiNTS": DiNTS,
+    "Quicknat": Quicknat,
+    "QuickNAT": Quicknat,
     "VNet": VNet,
     "HighResNet": HighResNet,
     "EfficientNetBN": EfficientNetBN,
@@ -110,7 +119,8 @@ def _freeze_lists(value):
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
 _KNOWN_MONAI_UNIMPLEMENTED = (
-    "AHNet", "DiNTS", "QuickNAT",
+    "TopologySearch",  # DiNTS search mode: one-off NAS workflow, retrain-mode
+                       # TopologyInstance/DiNTS are native (models/dints.py)
 )
 
 
