@@ -323,3 +323,34 @@ def test_dints_invalid_arch_code_raises():
     code_c = [[1] * 7] * 6
     with pytest.raises(ValueError):
         TopologyInstance(arch_code=(code_a, code_c))
+
+
+def test_basicunet_dropout_is_applied_in_train_mode():
+    """Round-3 review: the `dropout` config field must actually gate
+    (MONAI BasicUNet threads it into every conv's ADN)."""
+    net = create_model("BasicUNet", in_channels=1, out_channels=1,
+                       features=(4, 4, 8, 8, 8, 4), dropout=0.5)
+    x = _rand((1, 16, 16, 16, 1))
+    v = net.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, x, False)
+    y_eval = net.apply(v, x, False)
+    y1 = net.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    y2 = net.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    assert not np.allclose(np.asarray(y1), np.asarray(y_eval))
+    # eval is deterministic
+    assert np.allclose(np.asarray(y_eval), np.asarray(net.apply(v, x, False)))
+
+
+def test_vitautoenc_two_stage_deconv_params():
+    """MONAI ViTAutoEnc decodes with two kernel==stride transposed convs
+    (conv3d_transpose, conv3d_transpose_1), not one patch-sized deconv."""
+    net = create_model("ViTAutoEnc", in_channels=1, img_size=16, patch_size=8,
+                       hidden_size=32, mlp_dim=64, num_layers=1, num_heads=4,
+                       deconv_chns=6, out_channels=2)
+    x = _rand((1, 16, 16, 16, 1))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, False)
+    recon, states = net.apply(v, x, False)
+    assert recon.shape == (1, 16, 16, 16, 2)
+    assert "conv3d_transpose" in v["params"]
+    assert "conv3d_transpose_1" in v["params"]

@@ -43,31 +43,35 @@ class BasicUNetPlusPlus(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.spatial_dims != 3:
             raise NotImplementedError("unet3d_tpu BasicUNetPlusPlus is 3D")
-        fea = self.features
-        x_0_0 = TwoConv(fea[0], name="conv_0_0")(x)
-        x_1_0 = TwoConv(fea[1], name="conv_1_0")(_max_pool2(x_0_0))
-        x_0_1 = UpCat(fea[1], fea[0], name="upcat_0_1")(x_1_0, x_0_0)
+        fea, dr = self.features, self.dropout
+        x_0_0 = TwoConv(fea[0], dr, name="conv_0_0")(x, train)
+        x_1_0 = TwoConv(fea[1], dr, name="conv_1_0")(_max_pool2(x_0_0), train)
+        x_0_1 = UpCat(fea[1], fea[0], dr, name="upcat_0_1")(x_1_0, x_0_0, train)
 
-        x_2_0 = TwoConv(fea[2], name="conv_2_0")(_max_pool2(x_1_0))
-        x_1_1 = UpCat(fea[2] // 2, fea[1], name="upcat_1_1")(x_2_0, x_1_0)
-        x_0_2 = UpCat(fea[1], fea[0], name="upcat_0_2")(
-            x_1_1, jnp.concatenate([x_0_0, x_0_1], axis=-1))
+        x_2_0 = TwoConv(fea[2], dr, name="conv_2_0")(_max_pool2(x_1_0), train)
+        x_1_1 = UpCat(fea[2] // 2, fea[1], dr, name="upcat_1_1")(
+            x_2_0, x_1_0, train)
+        x_0_2 = UpCat(fea[1], fea[0], dr, name="upcat_0_2")(
+            x_1_1, jnp.concatenate([x_0_0, x_0_1], axis=-1), train)
 
-        x_3_0 = TwoConv(fea[3], name="conv_3_0")(_max_pool2(x_2_0))
-        x_2_1 = UpCat(fea[3] // 2, fea[2], name="upcat_2_1")(x_3_0, x_2_0)
-        x_1_2 = UpCat(fea[2] // 2, fea[1], name="upcat_1_2")(
-            x_2_1, jnp.concatenate([x_1_0, x_1_1], axis=-1))
-        x_0_3 = UpCat(fea[1], fea[0], name="upcat_0_3")(
-            x_1_2, jnp.concatenate([x_0_0, x_0_1, x_0_2], axis=-1))
+        x_3_0 = TwoConv(fea[3], dr, name="conv_3_0")(_max_pool2(x_2_0), train)
+        x_2_1 = UpCat(fea[3] // 2, fea[2], dr, name="upcat_2_1")(
+            x_3_0, x_2_0, train)
+        x_1_2 = UpCat(fea[2] // 2, fea[1], dr, name="upcat_1_2")(
+            x_2_1, jnp.concatenate([x_1_0, x_1_1], axis=-1), train)
+        x_0_3 = UpCat(fea[1], fea[0], dr, name="upcat_0_3")(
+            x_1_2, jnp.concatenate([x_0_0, x_0_1, x_0_2], axis=-1), train)
 
-        x_4_0 = TwoConv(fea[4], name="conv_4_0")(_max_pool2(x_3_0))
-        x_3_1 = UpCat(fea[4] // 2, fea[3], name="upcat_3_1")(x_4_0, x_3_0)
-        x_2_2 = UpCat(fea[3] // 2, fea[2], name="upcat_2_2")(
-            x_3_1, jnp.concatenate([x_2_0, x_2_1], axis=-1))
-        x_1_3 = UpCat(fea[2] // 2, fea[1], name="upcat_1_3")(
-            x_2_2, jnp.concatenate([x_1_0, x_1_1, x_1_2], axis=-1))
-        x_0_4 = UpCat(fea[1], fea[5], name="upcat_0_4")(
-            x_1_3, jnp.concatenate([x_0_0, x_0_1, x_0_2, x_0_3], axis=-1))
+        x_4_0 = TwoConv(fea[4], dr, name="conv_4_0")(_max_pool2(x_3_0), train)
+        x_3_1 = UpCat(fea[4] // 2, fea[3], dr, name="upcat_3_1")(
+            x_4_0, x_3_0, train)
+        x_2_2 = UpCat(fea[3] // 2, fea[2], dr, name="upcat_2_2")(
+            x_3_1, jnp.concatenate([x_2_0, x_2_1], axis=-1), train)
+        x_1_3 = UpCat(fea[2] // 2, fea[1], dr, name="upcat_1_3")(
+            x_2_2, jnp.concatenate([x_1_0, x_1_1, x_1_2], axis=-1), train)
+        x_0_4 = UpCat(fea[1], fea[5], dr, name="upcat_0_4")(
+            x_1_3, jnp.concatenate([x_0_0, x_0_1, x_0_2, x_0_3], axis=-1),
+            train)
 
         out = conv1(self.out_channels, name="final_conv_0_4")(x_0_4)
         if self.deep_supervision:

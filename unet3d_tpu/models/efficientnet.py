@@ -95,7 +95,10 @@ class MBConvBlock(nn.Module):
         if self.expand_ratio != 1:
             y = PointwiseConv(mid, use_bias=False, name="expand_conv")(y)
             y = _swish(_bn("bn0", train)(y))
-        # depthwise conv (symmetric same padding, torch Conv3d(padding=k//2))
+        # depthwise conv. Padding note: MONAI computes TF-style asymmetric
+        # "same" padding ((0,1) low/high for k3 s2); k//2 symmetric padding
+        # gives identical shapes and parameters with a one-voxel alignment
+        # shift on stride-2 stages only — documented divergence.
         pad = self.kernel // 2
         y = nn.Conv(mid, (self.kernel,) * 3, strides=(self.stride,) * 3,
                     padding=[(pad, pad)] * 3, feature_group_count=mid,

@@ -12,8 +12,11 @@ these classes expose it standalone with MONAI's call contracts:
   Dense(num_classes) over the cls token with an optional ``post_activation``
   (MONAI default "Tanh").
 - ViTAutoEnc: same encoder; the normalized tokens are reshaped back onto the
-  patch grid and upsampled with one transposed conv (kernel = stride = patch
-  size, the subpixel-matmul path) to ``deconv_chns`` then projected to
+  patch grid and upsampled with TWO transposed convs (MONAI hardcodes
+  kernel = stride = 4 for both, i.e. x16 total — valid only for its default
+  16-cubed patches; here the per-axis factors are the generalized
+  decomposition ``s1*s2 = patch`` with ``s1 = min(4, patch)`` so other patch
+  sizes still reconstruct the input extent): hidden -> ``deconv_chns`` ->
   ``out_channels``. Returns ``(reconstruction, hidden_states)``.
 
 All matmuls are MXU-shaped (token x hidden dense contractions); bf16-safe.
@@ -25,7 +28,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from unet3d_tpu.models.layers import conv1, transposed_conv
+from unet3d_tpu.models.layers import transposed_conv
 from unet3d_tpu.models.unetr import TransformerBlock
 
 
@@ -117,6 +120,12 @@ class ViTAutoEnc(nn.Module):
             states.append(x)
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = x.reshape(n, gd, gh, gw, c)
-        x = transposed_conv(self.deconv_chns, p, p, name="deconv")(x)
-        x = conv1(self.out_channels, name="out_proj")(x)
+        # MONAI: conv3d_transpose (hidden -> deconv_chns) then
+        # conv3d_transpose_1 (deconv_chns -> out_channels), kernel == stride
+        s1 = tuple(min(4, v) for v in p)
+        s2 = tuple(v // a for v, a in zip(p, s1))
+        x = transposed_conv(self.deconv_chns, s1, s1,
+                            name="conv3d_transpose")(x)
+        x = transposed_conv(self.out_channels, s2, s2,
+                            name="conv3d_transpose_1")(x)
         return x, states
