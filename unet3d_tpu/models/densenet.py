@@ -66,7 +66,11 @@ class DenseNet(nn.Module):
         x = FastConv(self.init_features, (7, 7, 7), strides=(2, 2, 2),
                      use_bias=False, name="conv0")(x)
         x = nn.relu(_bn("norm0", train)(x))
-        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding="SAME")
+        # torch-parity symmetric (1,1) pads: XLA "SAME" places strided-pool
+        # windows lo=0/hi=1 on even sizes, offsetting every window by one
+        # voxel vs torch MaxPool3d(3, 2, padding=1) (see models/resnet.py).
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+                        padding=((1, 1),) * 3)
 
         channels = self.init_features
         for i, n_layers in enumerate(self.block_config):
