@@ -8,10 +8,19 @@ cannot be instantiated from a JSON config alone — it requires a
 either; here ``dints_space=None`` constructs a default full-topology
 ``TopologyInstance`` so the name is usable end-to-end.
 
-Native Flax/NDHWC implementation of the *retrain* path (TopologyInstance →
-DiNTS). The *search* machinery (TopologySearch: Gumbel-softmax op weights,
-topology decoding via dynamic programming) is out of scope — searching is a
-one-off GPU workflow; what a trained config needs is the instance network.
+Native Flax/NDHWC implementation of BOTH paths:
+
+- *retrain*: ``TopologyInstance`` → ``DiNTS`` (decoded, sparse network).
+- *search*: ``TopologySearch`` → ``DiNTS`` — every edge carries all five
+  candidate ops, weighted by ``softmax(log_alpha_c)`` op logits and
+  ``sigmoid(log_alpha_a)`` edge-activation logits (He et al. 2021 §3.2).
+  The arch logits live in the regular ``params`` collection under
+  ``log_alpha_a`` / ``log_alpha_c`` so the standard train step optimizes
+  them (single-level relaxation); a bi-level search script can partition
+  the param tree on those names. ``TopologySearch.decode`` then extracts
+  the max-probability *feasible* topology by Viterbi DP over
+  node-activation states (the paper's topology-decoding step) and returns
+  an ``arch_code`` that constructs a ``TopologyInstance`` for retraining.
 
 Search-space structure (He et al. 2021 §3, MONAI ``monai/networks/nets/dints.py``):
 
@@ -99,18 +108,238 @@ class TopologyInstance:
                     len(r) != n_e for r in self.code_a):
                 raise ValueError(
                     f"arch_code_a must be [{self.num_blocks} x {n_e}]")
-        # every depth must receive at least one active input edge per block
+        # Reachability semantics (DiNTS §3.3): a node is active after block b
+        # iff it received >=1 active input edge in block b; an active edge may
+        # only source from an active node; each block needs >=1 active edge.
+        # (Nodes may go dark — the decoder aggregation skips them.)
+        active = set(range(self.num_depths))
+        self.node_active: List[List[bool]] = [
+            [True] * self.num_depths]
         for b, row in enumerate(self.code_a):
-            live = {self.edges[i][1] for i, a in enumerate(row) if a}
-            if live != set(range(self.num_depths)):
-                missing = sorted(set(range(self.num_depths)) - live)
-                raise ValueError(f"arch_code block {b}: depths {missing} have "
-                                 "no active input edge")
+            nxt = set()
+            for e, a in enumerate(row):
+                if not a:
+                    continue
+                src, dst = self.edges[e]
+                if src not in active:
+                    raise ValueError(
+                        f"arch_code block {b}: edge {e} ({src}->{dst}) sources "
+                        f"from depth {src}, which has no active input path")
+                nxt.add(dst)
+            if not nxt:
+                raise ValueError(f"arch_code block {b}: no active edges")
+            active = nxt
+            self.node_active.append(
+                [d in active for d in range(self.num_depths)])
 
     @property
     def filter_nums(self) -> List[int]:
         return [int(16 * self.channel_mul * 2 ** d)
                 for d in range(self.num_depths)]
+
+
+@dataclass
+class TopologySearch:
+    """Differentiable DiNTS search space (MONAI ``TopologySearch`` analog).
+
+    Construct ``DiNTS(dints_space=TopologySearch(...))`` (or via config with
+    ``dints_space={"search": True, ...}``): the network then carries
+    ``log_alpha_a`` (num_blocks, n_edges) edge-activation logits and
+    ``log_alpha_c`` (num_blocks, n_edges, n_ops) op logits as parameters and
+    computes the fully-weighted supernet forward. The post-search methods
+    below are host-side numpy (they take the trained logit arrays extracted
+    from ``variables["params"]``).
+    """
+    channel_mul: float = 1.0
+    num_blocks: int = 6
+    num_depths: int = 3
+    use_downsample: bool = True
+    spatial_dims: int = 3
+    edges: List[Tuple[int, int]] = field(init=False)
+
+    def __post_init__(self):
+        if self.spatial_dims != 3:
+            raise NotImplementedError("TopologySearch: 3D only on TPU")
+        self.edges = _edges(self.num_depths)
+
+    @property
+    def filter_nums(self) -> List[int]:
+        return [int(16 * self.channel_mul * 2 ** d)
+                for d in range(self.num_depths)]
+
+    # ---- host-side numpy analysis / decode -------------------------------
+
+    def get_prob_a(self, log_alpha_a) -> "np.ndarray":
+        """Edge-activation probabilities: sigmoid(log_alpha_a)."""
+        import numpy as np
+        a = np.asarray(log_alpha_a, dtype=np.float64)
+        return 1.0 / (1.0 + np.exp(-a))
+
+    def _node_io_probs(self, probs_a):
+        """P(node d receives input at block b) and P(node d emits at block b)."""
+        import numpy as np
+        p = np.asarray(probs_a, dtype=np.float64)
+        n_d = self.num_depths
+        p_in = np.zeros((self.num_blocks, n_d))
+        p_out = np.zeros((self.num_blocks, n_d))
+        for b in range(self.num_blocks):
+            for e, (src, dst) in enumerate(self.edges):
+                p_in[b, dst] = 1 - (1 - p_in[b, dst]) * (1 - p[b, e])
+                p_out[b, src] = 1 - (1 - p_out[b, src]) * (1 - p[b, e])
+        return p_in, p_out
+
+    def get_topology_entropy(self, log_alpha_a) -> float:
+        """Topology consistency regularizer (He et al. 2021 Eq. 5): the
+        cross-entropy between "node d is written at block b" and "node d is
+        read at block b+1" — low when activation flows are consistent."""
+        import numpy as np
+        probs_a = self.get_prob_a(log_alpha_a)
+        p_in, p_out = self._node_io_probs(probs_a)
+        eps = 1e-5
+        ent = 0.0
+        for b in range(self.num_blocks - 1):
+            w = np.clip(p_in[b], eps, 1 - eps)        # written at block b
+            r = np.clip(p_out[b + 1], eps, 1 - eps)   # read at block b+1
+            ent += float(np.sum(-(w * np.log(r) + (1 - w) * np.log(1 - r))))
+        return ent
+
+    def get_ram_cost_usage(self, in_size, log_alpha_a,
+                           full: bool = False) -> float:
+        """Expected activation memory of the decoded net in GB.
+
+        ``in_size``: (batch, in_channels, D, H, W). Per edge: output voxels x
+        channels x (number of materialized tensors for the op mix) x 4 bytes,
+        weighted by the edge's activation probability (or 1 when ``full``)."""
+        import numpy as np
+        probs_a = self.get_prob_a(log_alpha_a)
+        if full:
+            probs_a = np.ones_like(probs_a)
+        batch = int(in_size[0])
+        spatial = [int(s) for s in in_size[2:5]]
+        stem = 2 if self.use_downsample else 1
+        # materialized tensors per op (adapter out + each conv stage out)
+        op_tensors = np.array([1.0 + len(ops) for ops in _OPS])
+        mean_tensors = float(op_tensors.mean())
+        total = 0.0
+        for b in range(self.num_blocks):
+            for e, (src, dst) in enumerate(self.edges):
+                scale = stem * 2 ** dst
+                voxels = batch * np.prod([s // scale for s in spatial])
+                total += (probs_a[b, e] * voxels * self.filter_nums[dst]
+                          * mean_tensors * 4)
+        return float(total / 2 ** 30)
+
+    def decode(self, log_alpha_a, log_alpha_c):
+        """Extract the max-probability feasible topology (Viterbi DP over
+        node-activation states, the paper's topology decoding).
+
+        Returns ``(arch_code_a, arch_code_c, node_a)``: 0/1 edge activations
+        (num_blocks, n_edges), per-edge op indices (argmax of the op logits),
+        and the (num_blocks+1, num_depths) node-activation mask. The codes
+        construct a valid ``TopologyInstance``.
+        """
+        import numpy as np
+        probs_a = self.get_prob_a(log_alpha_a)
+        w_c = np.asarray(log_alpha_c, dtype=np.float64)
+        w_c = np.exp(w_c - w_c.max(-1, keepdims=True))
+        w_c = w_c / w_c.sum(-1, keepdims=True)
+        op_idx = w_c.argmax(-1)                       # (blocks, edges)
+        # edge score couples activation prob with op confidence
+        p_e = np.clip(probs_a * w_c.max(-1), 1e-5, 1 - 1e-5)
+
+        n_d = self.num_depths
+        states = [frozenset(s for s in range(n_d) if (m >> s) & 1)
+                  for m in range(1, 2 ** n_d)]
+
+        def transition(b, s_prev, s_next):
+            """Best edge subset for block b given boundary states; returns
+            (score, active_edge_list) or None if infeasible."""
+            active, score = [], 0.0
+            covered = {d: [] for d in s_next}
+            for e, (src, dst) in enumerate(self.edges):
+                valid = src in s_prev and dst in s_next
+                if valid and p_e[b, e] > 0.5:
+                    active.append(e)
+                    covered[dst].append(e)
+                    score += np.log(p_e[b, e])
+                else:
+                    score += np.log(1 - p_e[b, e])
+                    if valid:
+                        covered[dst].append(-e - 1)   # candidate, inactive
+            for dst, cands in covered.items():
+                if any(c >= 0 for c in cands):
+                    continue
+                if not cands:
+                    return None                       # dst unreachable
+                # force the best candidate on (flip its contribution)
+                best = max((-c - 1 for c in cands), key=lambda e: p_e[b, e])
+                active.append(best)
+                score += np.log(p_e[b, best]) - np.log(1 - p_e[b, best])
+            return score, sorted(active)
+
+        full = frozenset(range(n_d))
+        # Viterbi: dp[state] = (score, path, edge_sets)
+        dp = {full: (0.0, [full], [])}
+        for b in range(self.num_blocks):
+            nxt = {}
+            for s_prev, (sc, path, sets) in dp.items():
+                for s_next in states:
+                    tr = transition(b, s_prev, s_next)
+                    if tr is None:
+                        continue
+                    cand = (sc + tr[0], path + [s_next], sets + [tr[1]])
+                    if s_next not in nxt or cand[0] > nxt[s_next][0]:
+                        nxt[s_next] = cand
+            dp = nxt
+        _, path, edge_sets = max(dp.values(), key=lambda v: v[0])
+
+        n_e = len(self.edges)
+        arch_code_a = [[1 if e in es else 0 for e in range(n_e)]
+                       for es in edge_sets]
+        arch_code_c = [[int(op_idx[b, e]) for e in range(n_e)]
+                       for b in range(self.num_blocks)]
+        node_a = [[1 if d in s else 0 for d in range(n_d)] for s in path]
+        return arch_code_a, arch_code_c, node_a
+
+
+class _EdgeAdapter(nn.Module):
+    """Search-mode edge preprocessing: the resolution/width adapter shared by
+    all candidate ops on the edge (same structure as _CellOp's adapter)."""
+    features: int
+    resize: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.resize == 1:
+            x = nn.relu(x)
+            x = nn.Conv(self.features, (3, 3, 3), strides=(2, 2, 2),
+                        padding="SAME", use_bias=False, name="down")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, name="down_norm")(x)
+        elif self.resize == -1:
+            shape = (x.shape[0],) + tuple(2 * s for s in x.shape[1:4]) + (
+                x.shape[4],)
+            x = jax.image.resize(x, shape, method="trilinear")
+            x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="up")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, name="up_norm")(x)
+        elif x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="adapt")(x)
+        return x
+
+
+class _OpStack(nn.Module):
+    """One candidate op's conv stack (post-adapter)."""
+    features: int
+    op_index: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, k in enumerate(_OPS[self.op_index]):
+            k3 = (k, k, k) if isinstance(k, int) else tuple(k)
+            x = nn.relu(x)
+            x = nn.Conv(self.features, k3, padding="SAME", use_bias=False,
+                        name=f"conv{i}")(x)
+            x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm{i}")(x)
+        return x
 
 
 class _CellOp(nn.Module):
@@ -158,11 +387,16 @@ class DiNTS(nn.Module):
     use_downsample: bool = True
     node_a: Optional[Any] = None
 
-    def _space(self) -> TopologyInstance:
+    def _space(self):
         if self.dints_space is None:
             return TopologyInstance(use_downsample=self.use_downsample)
-        if isinstance(self.dints_space, dict):
-            return TopologyInstance(**self.dints_space)
+        import collections.abc
+        if isinstance(self.dints_space, collections.abc.Mapping):
+            # (flax stores dict fields as FrozenDict)
+            kwargs = {k: v for k, v in self.dints_space.items()}
+            if kwargs.pop("search", False):
+                return TopologySearch(**kwargs)
+            return TopologyInstance(**kwargs)
         return self.dints_space
 
     @nn.compact
@@ -197,20 +431,44 @@ class DiNTS(nn.Module):
             states.append(h)
 
         # The topology grid.
-        for b in range(space.num_blocks):
-            incoming: List[List[jnp.ndarray]] = [[] for _ in
-                                                 range(space.num_depths)]
-            for e, (src, dst) in enumerate(space.edges):
-                if not space.code_a[b][e]:
-                    continue
-                y = _CellOp(filters[dst], space.code_c[b][e], dst - src,
-                            name=f"b{b}_e{e}")(states[src], train)
-                incoming[dst].append(y)
-            states = [sum(vs) for vs in incoming]
+        if isinstance(space, TopologySearch):
+            # supernet: every edge, all ops, weighted by the arch logits
+            n_e, n_ops = len(space.edges), len(_OPS)
+            log_a = self.param("log_alpha_a", nn.initializers.zeros,
+                               (space.num_blocks, n_e))
+            log_c = self.param("log_alpha_c", nn.initializers.normal(1e-3),
+                               (space.num_blocks, n_e, n_ops))
+            p_a = jax.nn.sigmoid(log_a)
+            w_c = jax.nn.softmax(log_c, axis=-1)
+            for b in range(space.num_blocks):
+                incoming = [[] for _ in range(space.num_depths)]
+                for e, (src, dst) in enumerate(space.edges):
+                    y0 = _EdgeAdapter(filters[dst], dst - src,
+                                      name=f"b{b}_e{e}_adapt")(states[src])
+                    acc = w_c[b, e, 0] * y0  # op 0: skip_connect
+                    for op in range(1, n_ops):
+                        acc = acc + w_c[b, e, op] * _OpStack(
+                            filters[dst], op, name=f"b{b}_e{e}_op{op}")(y0)
+                    incoming[dst].append(p_a[b, e] * acc)
+                states = [sum(vs) for vs in incoming]
+        else:
+            for b in range(space.num_blocks):
+                incoming: List[List[jnp.ndarray]] = [[] for _ in
+                                                     range(space.num_depths)]
+                for e, (src, dst) in enumerate(space.edges):
+                    if not space.code_a[b][e]:
+                        continue
+                    y = _CellOp(filters[dst], space.code_c[b][e], dst - src,
+                                name=f"b{b}_e{e}")(states[src], train)
+                    incoming[dst].append(y)
+                # depths with no active input go dark (skipped downstream)
+                states = [sum(vs) if vs else None for vs in incoming]
 
-        # Decoder: bring every depth to depth-0 resolution, aggregate, head.
+        # Decoder: bring every live depth to depth-0 resolution, aggregate.
         outs = []
         for d, s in enumerate(states):
+            if s is None:
+                continue
             y = nn.relu(s)
             y = nn.Conv(filters[0], (1, 1, 1), use_bias=False,
                         name=f"head_proj{d}")(y)

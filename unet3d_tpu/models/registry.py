@@ -21,7 +21,7 @@ from unet3d_tpu.models.custom import (RegularizedBasicResNet, RegularizedResNet,
                                       ResNetWithDecoder1D)
 from unet3d_tpu.models.densenet import (DenseNet, DenseNet121, DenseNet169,
                                         DenseNet201, DenseNet264)
-from unet3d_tpu.models.dints import DiNTS, TopologyInstance
+from unet3d_tpu.models.dints import DiNTS, TopologyInstance, TopologySearch
 from unet3d_tpu.models.dynunet import DynUNet
 from unet3d_tpu.models.efficientnet import EfficientNetBN
 from unet3d_tpu.models.fcn import FCN
@@ -65,6 +65,9 @@ MODEL_REGISTRY: Dict[str, Any] = {
     "AHnet": AHNet,          # MONAI exports AHNet/AHnet/Ahnet aliases
     "Ahnet": AHNet,
     "DiNTS": DiNTS,
+    "TopologyInstance": TopologyInstance,   # search-space objects: resolvable
+    "TopologySearch": TopologySearch,       # by name for namespace parity
+    "TopologyConstruction": TopologyInstance,  # MONAI base-class alias
     "Quicknat": Quicknat,
     "QuickNAT": Quicknat,
     "VNet": VNet,
@@ -118,10 +121,7 @@ def _freeze_lists(value):
 
 # MONAI names the reference's star-import would resolve but that have no
 # native implementation here yet; listed so the error is actionable.
-_KNOWN_MONAI_UNIMPLEMENTED = (
-    "TopologySearch",  # DiNTS search mode: one-off NAS workflow, retrain-mode
-                       # TopologyInstance/DiNTS are native (models/dints.py)
-)
+_KNOWN_MONAI_UNIMPLEMENTED = ()
 
 
 def fetch_model_by_name(model_name: str):
