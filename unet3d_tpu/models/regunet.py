@@ -31,6 +31,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from unet3d_tpu.models.layers import FastConv, conv1, transposed_conv
+from unet3d_tpu.ops.interpolate import resize_ndhwc
 from unet3d_tpu.ops.resample import sample_at_coords
 
 
@@ -82,23 +83,12 @@ class EncodeBlock(nn.Module):
 
 
 def _resize_trilinear(x: jnp.ndarray, out_spatial: Tuple[int, ...]) -> jnp.ndarray:
-    """NDHWC trilinear resize (align_corners=False) via the shared sampler."""
+    """NDHWC trilinear resize (torch-interpolate semantics, incl. the border
+    clamp torch applies — an unclamped local sampler here zero-padded the
+    edges and diverged from torch, caught by the RegUNet transplant test)."""
     if tuple(x.shape[1:4]) == tuple(out_spatial):
         return x
-    coords = []
-    for axis, out_len in enumerate(out_spatial):
-        in_len = x.shape[1 + axis]
-        scale = in_len / out_len
-        idx = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
-        shape = [1, 1, 1]
-        shape[axis] = out_len
-        coords.append(jnp.broadcast_to(idx.reshape(shape), out_spatial))
-    grid = jnp.stack(coords)  # (3, D, H, W)
-    out = []
-    for n in range(x.shape[0]):
-        vol = jnp.transpose(x[n], (3, 0, 1, 2))  # (C, D, H, W)
-        out.append(jnp.transpose(sample_at_coords(vol, grid), (1, 2, 3, 0)))
-    return jnp.stack(out)
+    return resize_ndhwc(x, out_spatial, mode="trilinear")
 
 
 class RegUNet(nn.Module):
