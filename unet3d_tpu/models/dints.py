@@ -302,6 +302,12 @@ class TopologySearch:
         return arch_code_a, arch_code_c, node_a
 
 
+def _in_norm(name: str) -> nn.GroupNorm:
+    """Per-channel GroupNorm == InstanceNorm3d(affine=True), MONAI eps=1e-5
+    (flax's default eps is 1e-6 — pinned by the DiNTS transplant test)."""
+    return nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5, name=name)
+
+
 class _EdgeAdapter(nn.Module):
     """Search-mode edge preprocessing: the resolution/width adapter shared by
     all candidate ops on the edge (same structure as _CellOp's adapter)."""
@@ -313,14 +319,15 @@ class _EdgeAdapter(nn.Module):
         if self.resize == 1:
             x = nn.relu(x)
             x = nn.Conv(self.features, (3, 3, 3), strides=(2, 2, 2),
-                        padding="SAME", use_bias=False, name="down")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name="down_norm")(x)
+                        padding=((1, 1),) * 3, use_bias=False,
+                        name="down")(x)
+            x = _in_norm("down_norm")(x)
         elif self.resize == -1:
             shape = (x.shape[0],) + tuple(2 * s for s in x.shape[1:4]) + (
                 x.shape[4],)
             x = jax.image.resize(x, shape, method="trilinear")
             x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="up")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name="up_norm")(x)
+            x = _in_norm("up_norm")(x)
         elif x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="adapt")(x)
         return x
@@ -338,7 +345,7 @@ class _OpStack(nn.Module):
             x = nn.relu(x)
             x = nn.Conv(self.features, k3, padding="SAME", use_bias=False,
                         name=f"conv{i}")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm{i}")(x)
+            x = _in_norm(f"norm{i}")(x)
         return x
 
 
@@ -353,14 +360,15 @@ class _CellOp(nn.Module):
         if self.resize == 1:
             x = nn.relu(x)
             x = nn.Conv(self.features, (3, 3, 3), strides=(2, 2, 2),
-                        padding="SAME", use_bias=False, name="down")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name="down_norm")(x)
+                        padding=((1, 1),) * 3, use_bias=False,
+                        name="down")(x)
+            x = _in_norm("down_norm")(x)
         elif self.resize == -1:
             shape = (x.shape[0],) + tuple(2 * s for s in x.shape[1:4]) + (
                 x.shape[4],)
             x = jax.image.resize(x, shape, method="trilinear")
             x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="up")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name="up_norm")(x)
+            x = _in_norm("up_norm")(x)
         elif x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1, 1), use_bias=False, name="adapt")(x)
         for i, k in enumerate(_OPS[self.op_index]):
@@ -368,7 +376,7 @@ class _CellOp(nn.Module):
             x = nn.relu(x)
             x = nn.Conv(self.features, k3, padding="SAME", use_bias=False,
                         name=f"conv{i}")(x)
-            x = nn.GroupNorm(num_groups=None, group_size=1, name=f"norm{i}")(x)
+            x = _in_norm(f"norm{i}")(x)
         return x
 
 
@@ -416,18 +424,17 @@ class DiNTS(nn.Module):
         h0 = x
         if space.use_downsample:
             h0 = nn.Conv(filters[0], (3, 3, 3), strides=(2, 2, 2),
-                         padding="SAME", use_bias=False, name="stem")(h0)
-            h0 = nn.GroupNorm(num_groups=None, group_size=1,
-                              name="stem_norm")(h0)
+                         padding=((1, 1),) * 3, use_bias=False,
+                         name="stem")(h0)
+            h0 = _in_norm("stem_norm")(h0)
         h = h0
         for d in range(space.num_depths):
             if d > 0:
                 h = nn.relu(h)
                 h = nn.Conv(filters[d], (3, 3, 3), strides=(2, 2, 2),
-                            padding="SAME", use_bias=False,
+                            padding=((1, 1),) * 3, use_bias=False,
                             name=f"stem_down{d}")(h)
-                h = nn.GroupNorm(num_groups=None, group_size=1,
-                                 name=f"stem_norm{d}")(h)
+                h = _in_norm(f"stem_norm{d}")(h)
             states.append(h)
 
         # The topology grid.
@@ -478,12 +485,11 @@ class DiNTS(nn.Module):
                 y = jax.image.resize(y, shape, method="trilinear")
             outs.append(y)
         y = sum(outs)
-        y = nn.GroupNorm(num_groups=None, group_size=1, name="head_norm")(y)
+        y = _in_norm("head_norm")(y)
         y = nn.relu(y)
         if space.use_downsample:
             y = nn.ConvTranspose(filters[0], (2, 2, 2), strides=(2, 2, 2),
                                  name="head_up")(y)
-            y = nn.GroupNorm(num_groups=None, group_size=1,
-                             name="head_up_norm")(y)
+            y = _in_norm("head_up_norm")(y)
             y = nn.relu(y)
         return nn.Conv(self.num_classes, (1, 1, 1), name="output")(y)
