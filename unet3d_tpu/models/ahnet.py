@@ -78,7 +78,10 @@ class Bottleneck3x3x1(nn.Module):
         s = (self.stride, self.stride, 1)
         out = nn.Conv(self.planes, (1, 1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(_bn("bn1", train)(out))
-        out = nn.Conv(self.planes, (3, 3, 1), strides=s, padding="SAME",
+        # explicit symmetric pads: XLA "SAME" places strided pads lo=0/hi=1,
+        # which shifts vs torch Conv3d(padding=(1,1,0)) (see FastConv note)
+        out = nn.Conv(self.planes, (3, 3, 1), strides=s,
+                      padding=((1, 1), (1, 1), (0, 0)),
                       use_bias=False, name="conv2")(out)
         # through-plane context: parallel (1,1,3) max-pool summed in (the 2D
         # kernel's z-extension in MONAI's AHNet)
@@ -165,7 +168,10 @@ class AHNet(nn.Module):
             if d % need:
                 raise ValueError(f"AHNet: spatial dim {i} = {d} must be "
                                  f"divisible by {need}")
-        h = nn.Conv(64, (7, 7, 3), strides=(2, 2, 1), padding="SAME",
+        # torch Conv3d(padding=(3,3,1)) symmetric stem pads (strided SAME
+        # would shift in-plane by one voxel vs torch)
+        h = nn.Conv(64, (7, 7, 3), strides=(2, 2, 1),
+                    padding=((3, 3), (3, 3), (1, 1)),
                     use_bias=False, name="conv1")(x)
         h = nn.relu(_bn("bn0", train)(h))
         h = _max_pool(h, (3, 3, 3), (2, 2, 2), ((1, 1), (1, 1), (1, 1)))
