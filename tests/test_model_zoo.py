@@ -131,11 +131,9 @@ def test_segresnet_trains_one_step():
 def test_unsupported_monai_name_error_is_actionable():
     import pytest
     from unet3d_tpu.models.registry import fetch_model_by_name
-    # round 3 closed the former tail — these resolve natively now
-    for name in ("AHNet", "Quicknat", "DiNTS"):
+    # round 3 closed the namespace tail entirely — these resolve natively
+    for name in ("AHNet", "Quicknat", "DiNTS", "TopologySearch"):
         assert fetch_model_by_name(name) is not None
-    with pytest.raises(ValueError, match="TopologySearch.*MONAI"):
-        fetch_model_by_name("TopologySearch")
     with pytest.raises(ValueError, match="supported names:.*SegResNet"):
         fetch_model_by_name("NoSuchNet")
 
