@@ -246,3 +246,82 @@ def test_rand_spatial_crop_samples_stacks():
     assert np.asarray(out_lbl).shape == (4, 1, 6, 6, 6)
     # crops are (almost surely) different
     assert not np.allclose(np.asarray(out_img)[0], np.asarray(out_img)[1])
+
+
+# ------------------------------------------------------- round 3 session 3
+
+
+SESSION3_INTENSITY_SPECS = [
+    {"name": "RandStdShiftIntensityD", "prob": 1.0, "factors": (0.5, 0.5)},
+    {"name": "RandRicianNoiseD", "prob": 1.0, "std": 0.5, "sample_std": False},
+    {"name": "RandGibbsNoiseD", "prob": 1.0, "alpha": (0.8, 0.8)},
+]
+
+
+@pytest.mark.parametrize("spec", SESSION3_INTENSITY_SPECS,
+                         ids=[s["name"] for s in SESSION3_INTENSITY_SPECS])
+def test_session3_intensity_transform_applies(spec):
+    img, lbl = _sample()
+    t = build_transform(spec)
+    out_img, out_lbl = t(np.random.RandomState(2), img, lbl)
+    assert np.asarray(out_img).shape == img.shape
+    assert not np.allclose(np.asarray(out_img), img)
+    assert np.array_equal(np.asarray(out_lbl), lbl)
+
+
+def test_std_shift_matches_formula():
+    img, _ = _sample()
+    t = build_transform({"name": "RandStdShiftIntensityD", "prob": 1.0,
+                         "factors": (0.5, 0.5)})
+    out, _ = t(np.random.RandomState(0), img, None)
+    np.testing.assert_allclose(np.asarray(out), img + 0.5 * img.std(),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rician_noise_is_nonnegative_magnitude():
+    img = np.zeros((1, 8, 8, 8), np.float32)
+    t = build_transform({"name": "RandRicianNoiseD", "prob": 1.0, "std": 1.0,
+                         "sample_std": False})
+    out, _ = t(np.random.RandomState(3), img, None)
+    assert np.all(np.asarray(out) >= 0)  # |n1 + i n2| of pure noise
+    assert np.asarray(out).mean() > 0.5
+
+
+def test_gibbs_alpha_zero_is_identity():
+    img, _ = _sample()
+    t = build_transform({"name": "RandGibbsNoiseD", "prob": 1.0,
+                         "alpha": (0.0, 0.0)})
+    out, _ = t(np.random.RandomState(4), img, None)
+    np.testing.assert_allclose(np.asarray(out), img, rtol=1e-4, atol=1e-4)
+
+
+def test_elastic_warps_image_and_label_together():
+    img, lbl = _sample()
+    t = build_transform({"name": "Rand3DElasticD", "prob": 1.0,
+                         "sigma_range": (2.0, 2.0),
+                         "magnitude_range": (8.0, 8.0)})
+    out_img, out_lbl = t(np.random.RandomState(5), img, lbl)
+    assert np.asarray(out_img).shape == img.shape
+    assert not np.allclose(np.asarray(out_img), img)
+    # nearest-warped label stays integral
+    vals = np.unique(np.asarray(out_lbl))
+    assert set(vals).issubset(set(np.unique(lbl)))
+    assert not np.array_equal(np.asarray(out_lbl), lbl)
+
+
+def test_elastic_rejects_affine_extras():
+    with pytest.raises(NotImplementedError, match="RandAffineD"):
+        build_transform({"name": "Rand3DElasticD", "prob": 1.0,
+                         "rotate_range": 0.3})
+
+
+def test_center_spatial_crop_centers():
+    img = np.arange(8, dtype=np.float32).reshape(1, 8, 1, 1)
+    img = np.broadcast_to(img, (1, 8, 8, 8)).copy()
+    lbl = img.copy()
+    t = build_transform({"name": "CenterSpatialCropD", "roi_size": [4, -1, 8]})
+    out_img, out_lbl = t(np.random.RandomState(0), img, lbl)
+    assert np.asarray(out_img).shape == (1, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(out_img)[0, :, 0, 0],
+                                  [2.0, 3.0, 4.0, 5.0])
+    assert np.asarray(out_lbl).shape == (1, 4, 8, 8)

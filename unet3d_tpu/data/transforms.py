@@ -584,6 +584,181 @@ class RandCoarseDropoutD(Transform):
         return jnp.asarray(out), label
 
 
+class RandStdShiftIntensityD(Transform):
+    """MONAI RandStdShiftIntensityd: v + factor * std(v), factor ~ U(factors)
+    (scalar f -> U(-f, f))."""
+
+    def __init__(self, factors=0.1, prob: float = 0.1, nonzero: bool = False):
+        self.factors = _range_pair(factors)
+        self.prob = prob
+        self.nonzero = nonzero
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        factor = rng.uniform(*self.factors)
+        img = jnp.asarray(image)
+        if self.nonzero:
+            mask = img != 0
+            n = jnp.maximum(jnp.sum(mask), 1)
+            mean = jnp.sum(jnp.where(mask, img, 0.0)) / n
+            var = jnp.sum(jnp.where(mask, (img - mean) ** 2, 0.0)) / n
+            std = jnp.sqrt(var)
+            return jnp.where(mask, img + factor * std, img), label
+        return img + factor * jnp.std(img), label
+
+
+class RandRicianNoiseD(Transform):
+    """MONAI RandRicianNoised: sqrt((v + n1)^2 + n2^2), n1/n2 ~ N(mean, std'),
+    std' ~ U(0, std) when ``sample_std``."""
+
+    def __init__(self, prob: float = 0.1, mean: float = 0.0, std: float = 1.0,
+                 sample_std: bool = True, channel_wise: bool = False):
+        self.prob = prob
+        self.mean = mean
+        self.std = std
+        self.sample_std = sample_std
+        self.channel_wise = channel_wise
+
+    def _noise_pair(self, rng, shape, std):
+        n1 = rng.normal(self.mean, std, size=shape).astype(np.float32)
+        n2 = rng.normal(self.mean, std, size=shape).astype(np.float32)
+        return jnp.asarray(n1), jnp.asarray(n2)
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        img = jnp.asarray(image)
+        if self.channel_wise:
+            outs = []
+            for c in range(img.shape[0]):
+                std = rng.uniform(0, self.std) if self.sample_std else self.std
+                n1, n2 = self._noise_pair(rng, img.shape[1:], std)
+                outs.append(jnp.sqrt((img[c] + n1) ** 2 + n2 ** 2))
+            return jnp.stack(outs), label
+        std = rng.uniform(0, self.std) if self.sample_std else self.std
+        n1, n2 = self._noise_pair(rng, img.shape, std)
+        return jnp.sqrt((img + n1) ** 2 + n2 ** 2), label
+
+
+class RandGibbsNoiseD(Transform):
+    """MONAI RandGibbsNoised: Gibbs/truncation ringing — attenuate k-space by
+    ``exp(-alpha * r^2)`` (r = normalized distance from the k-space center),
+    alpha ~ U(alpha range). alpha=0 is identity; larger alpha rings harder."""
+
+    def __init__(self, prob: float = 0.1, alpha=(0.0, 1.0)):
+        self.prob = prob
+        a = ((0.0, float(alpha)) if isinstance(alpha, (int, float))
+             else tuple(float(v) for v in alpha))
+        self.alpha = a
+
+    def __call__(self, rng, image, label):
+        if rng.rand() >= self.prob:
+            return image, label
+        alpha = rng.uniform(*self.alpha)
+        img = jnp.asarray(image)
+        spatial = img.shape[-3:]
+        grids = []
+        for s in spatial:
+            g = (np.arange(s, dtype=np.float32) - s // 2) / max(s // 2, 1)
+            grids.append(g)
+        gz, gy, gx = np.meshgrid(*grids, indexing="ij")
+        mask = jnp.asarray(np.exp(-alpha * (gz ** 2 + gy ** 2 + gx ** 2))
+                           .astype(np.float32))
+        k = jnp.fft.fftshift(jnp.fft.fftn(img, axes=(-3, -2, -1)),
+                             axes=(-3, -2, -1))
+        k = k * mask
+        out = jnp.fft.ifftn(jnp.fft.ifftshift(k, axes=(-3, -2, -1)),
+                            axes=(-3, -2, -1))
+        return jnp.real(out).astype(img.dtype), label
+
+
+class Rand3DElasticD(Transform):
+    """MONAI Rand3DElasticd (elastic core): uniform(-1,1) offsets per axis,
+    gaussian-smoothed with sigma ~ U(sigma_range), scaled by
+    magnitude ~ U(magnitude_range); image warps trilinear, label nearest.
+    The affine extras (rotate/scale/translate ranges) belong in a separate
+    RandAffineD entry — passing them here fails fast rather than silently
+    ignoring them."""
+    spatial = True
+
+    def __init__(self, sigma_range=(5.0, 8.0), magnitude_range=(100.0, 200.0),
+                 prob: float = 0.1, mode: str = "bilinear",
+                 label_mode: Optional[str] = None, **extras):
+        affine_keys = {"rotate_range", "scale_range", "translate_range",
+                       "shear_range"}
+        bad = affine_keys & set(extras)
+        if bad:
+            raise NotImplementedError(
+                f"Rand3DElasticD here is elastic-only; move {sorted(bad)} "
+                "into a RandAffineD stage")
+        if extras:
+            raise TypeError(f"Unsupported Rand3DElasticD kwargs: {sorted(extras)}")
+        self.sigma_range = tuple(float(v) for v in sigma_range)
+        self.magnitude_range = tuple(float(v) for v in magnitude_range)
+        self.prob = prob
+        self.mode = "trilinear" if mode == "bilinear" else mode
+        self.label_mode = label_mode or "nearest"
+
+    def __call__(self, rng, image, label):
+        from unet3d_tpu.ops.resample import sample_at_coords
+
+        if rng.rand() >= self.prob:
+            return image, label
+        spatial = np.asarray(image).shape[-3:]
+        sigma = rng.uniform(*self.sigma_range)
+        magnitude = rng.uniform(*self.magnitude_range)
+
+        def offsets():
+            field = (rng.rand(*spatial).astype(np.float32) * 2.0 - 1.0)
+            sm = separable_gaussian_blur(jnp.asarray(field[None]),
+                                         (sigma, sigma, sigma),
+                                         pad_mode="zero")[0]
+            return sm * magnitude / max(sigma, 1e-6)
+
+        dz, dy, dx = offsets(), offsets(), offsets()
+        gz, gy, gx = jnp.meshgrid(
+            jnp.arange(spatial[0], dtype=jnp.float32),
+            jnp.arange(spatial[1], dtype=jnp.float32),
+            jnp.arange(spatial[2], dtype=jnp.float32), indexing="ij")
+        coords = jnp.stack([gz + dz, gy + dy, gx + dx])
+        coords = jnp.stack([jnp.clip(coords[i], 0, spatial[i] - 1)
+                            for i in range(3)])
+        img = sample_at_coords(jnp.asarray(image), coords, mode=self.mode)
+        if label is None:
+            return img, None
+        lbl = sample_at_coords(jnp.asarray(label), coords,
+                               mode=self.label_mode)
+        return img, lbl
+
+
+class CenterSpatialCropD(Transform):
+    """MONAI CenterSpatialCropd: deterministic center crop to ``roi_size``
+    (-1 keeps the full extent of that axis)."""
+    spatial = True
+
+    def __init__(self, roi_size=None):
+        if roi_size is None:
+            raise ValueError("CenterSpatialCropD requires roi_size")
+        self.roi_size = ([int(roi_size)] * 3 if isinstance(roi_size, int)
+                         else [int(v) for v in roi_size])
+
+    def __call__(self, rng, image, label):
+        spatial = np.asarray(image).shape[-3:]
+        slices = [slice(None)]
+        for size, extent in zip(self.roi_size, spatial):
+            if size < 0 or size >= extent:
+                slices.append(slice(None))
+            else:
+                start = (extent - size) // 2
+                slices.append(slice(start, start + size))
+        slices = tuple(slices)
+        image = jnp.asarray(image)[slices]
+        if label is not None:
+            label = jnp.asarray(label)[slices]
+        return image, label
+
+
 TRANSFORM_REGISTRY: Dict[str, type] = {
     "RandFlipD": RandFlipD,
     "RandRotate90D": RandRotate90D,
@@ -601,6 +776,11 @@ TRANSFORM_REGISTRY: Dict[str, type] = {
     "RandHistogramShiftD": RandHistogramShiftD,
     "RandGaussianSharpenD": RandGaussianSharpenD,
     "RandCoarseDropoutD": RandCoarseDropoutD,
+    "RandStdShiftIntensityD": RandStdShiftIntensityD,
+    "RandRicianNoiseD": RandRicianNoiseD,
+    "RandGibbsNoiseD": RandGibbsNoiseD,
+    "Rand3DElasticD": Rand3DElasticD,
+    "CenterSpatialCropD": CenterSpatialCropD,
 }
 # MONAI accepts both the "...D" and "...d" dictionary-transform spellings.
 TRANSFORM_REGISTRY.update({k[:-1] + "d": v for k, v in list(TRANSFORM_REGISTRY.items())})
