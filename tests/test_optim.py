@@ -184,3 +184,40 @@ def test_cosine_warm_restarts_matches_torch():
         tsched.step()
         np.testing.assert_allclose(ours.step(), tsched.get_last_lr()[0],
                                    rtol=1e-6, err_msg=f"epoch {ours.last_epoch}")
+
+
+# ---- session-3: trajectory parity for the four workhorse optimizers ---------
+
+
+def test_adam_matches_torch_with_weight_decay():
+    import torch
+    # torch Adam weight_decay is L2-into-grad (NOT AdamW decoupled)
+    _torch_vs_optax("Adam", torch.optim.Adam,
+                    kwargs={"weight_decay": 0.01, "betas": (0.9, 0.995)},
+                    tkwargs={"weight_decay": 0.01, "betas": (0.9, 0.995)})
+
+
+def test_adamw_matches_torch():
+    import torch
+    _torch_vs_optax("AdamW", torch.optim.AdamW,
+                    kwargs={"weight_decay": 0.05},
+                    tkwargs={"weight_decay": 0.05})
+
+
+def test_sgd_matches_torch_momentum_weight_decay_nesterov():
+    import torch
+    # pins torch's momentum conventions: wd folded into grad BEFORE the
+    # momentum buffer, buffer = m*buf + grad (no dampening), nesterov lookahead
+    _torch_vs_optax("SGD", torch.optim.SGD, steps=6,
+                    kwargs={"momentum": 0.9, "weight_decay": 0.01,
+                            "nesterov": True},
+                    tkwargs={"momentum": 0.9, "weight_decay": 0.01,
+                             "nesterov": True})
+
+
+def test_rmsprop_matches_torch_with_momentum():
+    import torch
+    # pins eps OUTSIDE the sqrt (torch) vs optax's default eps placement
+    _torch_vs_optax("RMSprop", torch.optim.RMSprop, steps=6,
+                    kwargs={"momentum": 0.9, "alpha": 0.95},
+                    tkwargs={"momentum": 0.9, "alpha": 0.95})
