@@ -214,3 +214,66 @@ def test_globalnet_ddf_matches_torch_transplant():
     gh = np.concatenate([grid, np.ones((8, 8, 8, 1), np.float32)], axis=-1)
     ddf_t = np.einsum("nij,dhwj->ndhwi", theta, gh) - grid[None]
     np.testing.assert_allclose(ddf, ddf_t, rtol=5e-4, atol=5e-4)
+
+
+def test_localnet_forward_matches_torch_transplant():
+    """LocalNet = RegUNet + kernel-7 first encode + all-level extraction."""
+    from unet3d_tpu.models.regunet import LocalNet
+
+    model = LocalNet(in_channels=2, num_channel_initial=NCI, depth=DEPTH,
+                     out_channels=3)
+    rng = np.random.RandomState(17)
+    x = rng.randn(1, 16, 16, 16, 2).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = _randomize_params(jax.device_get(variables["params"]), rng)
+    stats = _randomize_stats(jax.device_get(variables["batch_stats"]), rng)
+    y_jax = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                   jnp.asarray(x), train=False))
+
+    w = [NCI * 2 ** d for d in range(DEPTH + 1)]
+    enc0 = TorchEncodeBlock(2, w[0], k=7).eval()       # kernel-7 first encode
+    enc1 = TorchEncodeBlock(w[0], w[1]).eval()
+    bottom = TorchEncodeBlock(w[1], w[2]).eval()
+    dec1_t = torch.nn.ConvTranspose3d(w[2], w[1], 3, stride=2, padding=1,
+                                      output_padding=1, bias=False)
+    dec1_bn = torch.nn.BatchNorm3d(w[1]).eval()
+    dec1 = TorchEncodeBlock(w[1], w[1]).eval()
+    dec0_t = torch.nn.ConvTranspose3d(w[1], w[0], 3, stride=2, padding=1,
+                                      output_padding=1, bias=False)
+    dec0_bn = torch.nn.BatchNorm3d(w[0]).eval()
+    dec0 = TorchEncodeBlock(w[0], w[0]).eval()
+    heads = {}
+    for level, cin in [(0, w[0]), (1, w[1]), (2, w[2])]:
+        h = torch.nn.Conv3d(cin, 3, 3, padding=1)
+        p = params[f"extract_{level}"]
+        h.weight.data = _conv_w(p["kernel"])
+        h.bias.data = _t(p["bias"])
+        heads[level] = h
+    enc0.load(params["encode_0"], stats["encode_0"])
+    enc1.load(params["encode_1"], stats["encode_1"])
+    bottom.load(params["bottom"], stats["bottom"])
+    dec1_t.weight.data = _transp_w(params["deconv_1"]["kernel"])
+    _load_bn(dec1_bn, params["deconv_bn_1"], stats["deconv_bn_1"])
+    dec1.load(params["decode_1"], stats["decode_1"])
+    dec0_t.weight.data = _transp_w(params["deconv_0"]["kernel"])
+    _load_bn(dec0_bn, params["deconv_bn_0"], stats["deconv_bn_0"])
+    dec0.load(params["decode_0"], stats["decode_0"])
+
+    pool = torch.nn.functional.max_pool3d
+    interp = torch.nn.functional.interpolate
+    with torch.no_grad():
+        xt = _t(x.transpose(0, 4, 1, 2, 3))
+        s0 = enc0(xt)
+        s1 = enc1(pool(s0, 2))
+        b = bottom(pool(s1, 2))
+        d1 = dec1(torch.relu(dec1_bn(dec1_t(b))) + s1)
+        d0 = dec0(torch.relu(dec0_bn(dec0_t(d1))) + s0)
+        outs = {0: d0, 1: d1, 2: b}
+        acc = []
+        for level in (0, 1, 2):
+            h = heads[level](outs[level])
+            acc.append(interp(h, size=(16, 16, 16), mode="trilinear",
+                              align_corners=False) if level else h)
+        y_t = sum(acc) / 3
+    np.testing.assert_allclose(y_jax, y_t.numpy().transpose(0, 2, 3, 4, 1),
+                               rtol=5e-4, atol=5e-4)
