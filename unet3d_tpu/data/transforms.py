@@ -714,7 +714,9 @@ class Rand3DElasticD(Transform):
             sm = separable_gaussian_blur(jnp.asarray(field[None]),
                                          (sigma, sigma, sigma),
                                          pad_mode="zero")[0]
-            return sm * magnitude / max(sigma, 1e-6)
+            # MONAI scales the smoothed field by magnitude directly (the
+            # sigma-amplitude coupling is left to the user's ranges)
+            return sm * magnitude
 
         dz, dy, dx = offsets(), offsets(), offsets()
         gz, gy, gx = jnp.meshgrid(
@@ -750,7 +752,8 @@ class CenterSpatialCropD(Transform):
             if size < 0 or size >= extent:
                 slices.append(slice(None))
             else:
-                start = (extent - size) // 2
+                # MONAI center convention: start = center - floor(size/2)
+                start = extent // 2 - size // 2
                 slices.append(slice(start, start + size))
         slices = tuple(slices)
         image = jnp.asarray(image)[slices]
