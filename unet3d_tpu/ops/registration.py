@@ -189,10 +189,15 @@ def register_rigid(fixed, fixed_affine: np.ndarray, moving,
         if level > 1:
             shape = tuple(max(4, s // level) for s in fixed.shape)
             fixed_l = np.asarray(resize(jnp.asarray(fixed)[None], shape))[0]
-            # the downsampled grid keeps the physical extent: scale columns
-            aff_l = fixed_affine.copy()
-            scale = (np.array(fixed.shape) - 1) / (np.array(shape) - 1)
-            aff_l[:3, :3] = aff_l[:3, :3] * scale[None, :]
+            # resize uses torch-interpolate half-pixel sampling: small voxel v
+            # sits at big voxel (v + 0.5) * scale - 0.5 — fold that exact
+            # mapping into the level's affine so coarse levels optimize the
+            # same physical objective as the full-resolution level
+            scale = np.array(fixed.shape, np.float64) / np.array(shape)
+            lift = np.eye(4)
+            lift[:3, :3] = np.diag(scale)
+            lift[:3, 3] = 0.5 * scale - 0.5
+            aff_l = fixed_affine @ lift
         else:
             shape, fixed_l, aff_l = fixed.shape, fixed, fixed_affine
         params, losses = _optimize_level(
