@@ -218,6 +218,9 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
 
 INFERER_REGISTRY = {
     "SlidingWindowInferer": SlidingWindowInferer,
+    # monai's Adapt variant only adds CPU-fallback device switching, which the
+    # buffer-donating TPU path handles internally — same semantics here
+    "SlidingWindowInfererAdapt": SlidingWindowInferer,
     "SimpleInferer": SimpleInferer,
 }
 
