@@ -1,4 +1,5 @@
 """Loss registry numerics (MONAI/torch semantics, channel-last)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -103,7 +104,8 @@ def test_registry_error_and_kwargs():
 def test_all_registered_losses_run():
     pred, target = _pair(shape=(1, 4, 4, 4, 2))
     for name in LOSS_REGISTRY:
-        loss = load_criterion(name)(pred, target)
+        kwargs = {"win_size": 3} if name == "SSIMLoss" else None
+        loss = load_criterion(name, kwargs)(pred, target)
         assert np.isfinite(float(loss)), name
 
 
@@ -267,3 +269,62 @@ def test_huber_matches_torch():
     ours = float(HuberLoss(delta=1.3)(jnp.asarray(pred), jnp.asarray(target)))
     t = torch.nn.HuberLoss(delta=1.3)(torch.tensor(pred), torch.tensor(target))
     np.testing.assert_allclose(ours, float(t), rtol=1e-6)
+
+
+# ------------------------------------------------- session-3 registry names
+
+
+def test_generalized_dice_focal_is_weighted_sum():
+    from unet3d_tpu.train.losses import (FocalLoss, GeneralizedDiceLoss,
+                                         load_criterion)
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randn(2, 4, 4, 4, 3).astype(np.float32))
+    target = jnp.asarray((rng.rand(2, 4, 4, 4, 3) > 0.5).astype(np.float32))
+    combo = load_criterion("GeneralizedDiceFocalLoss",
+                           {"sigmoid": True, "lambda_gdl": 0.7,
+                            "lambda_focal": 0.3})
+    gdl = GeneralizedDiceLoss(sigmoid=True)
+    focal = FocalLoss()
+    expected = 0.7 * float(gdl(pred, target)) + 0.3 * float(focal(pred, target))
+    assert float(combo(pred, target)) == pytest.approx(expected, rel=1e-5)
+
+
+def test_ssim_loss_properties():
+    from unet3d_tpu.train.losses import load_criterion
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 14, 14, 14, 2).astype(np.float32))
+    loss = load_criterion("SSIMLoss", {"win_size": 7})
+    # identical volumes: SSIM = 1 -> loss 0
+    assert float(loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+    # small noise hurts less than big noise; both positive
+    small = loss(x + 0.05 * jnp.asarray(rng.randn(*x.shape).astype(np.float32)), x)
+    big = loss(x + 0.5 * jnp.asarray(rng.randn(*x.shape).astype(np.float32)), x)
+    assert 0 < float(small) < float(big) <= 2.0
+    # gradient flows
+    g = jax.grad(lambda p: loss(p, x))(x + 0.1)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_ssim_matches_uniform_window_numpy_reference():
+    """Independent numpy reference with a uniform window (exact box means)."""
+    from unet3d_tpu.train.losses import SSIMLoss
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 9, 9, 9, 1).astype(np.float32)
+    y = rng.rand(1, 9, 9, 9, 1).astype(np.float32)
+    win, dr = 3, 1.0
+    loss = SSIMLoss(win_size=win, kernel_type="uniform", data_range=dr)
+    got = float(loss(jnp.asarray(x), jnp.asarray(y)))
+
+    def box(v):  # valid box mean over 3 axes
+        from numpy.lib.stride_tricks import sliding_window_view
+        w = sliding_window_view(v[0, ..., 0], (win, win, win))
+        return w.mean(axis=(-1, -2, -3))
+
+    mx, my = box(x), box(y)
+    sxx = box(x * x) - mx ** 2
+    syy = box(y * y) - my ** 2
+    sxy = box(x * y) - mx * my
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+        (mx ** 2 + my ** 2 + c1) * (sxx + syy + c2))
+    assert got == pytest.approx(float(1 - ssim.mean()), rel=1e-4)

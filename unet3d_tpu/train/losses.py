@@ -227,6 +227,94 @@ class DiceFocalLoss:
                 + self.lambda_focal * self.focal(pred, target))
 
 
+class GeneralizedDiceFocalLoss:
+    """MONAI GeneralizedDiceFocalLoss: weighted sum of GDL and FocalLoss."""
+
+    def __init__(self, include_background: bool = True, sigmoid: bool = False,
+                 softmax: bool = False, w_type: str = "square",
+                 gamma: float = 2.0, batch: bool = False,
+                 smooth_nr: float = 1e-5, smooth_dr: float = 1e-5,
+                 lambda_gdl: float = 1.0, lambda_focal: float = 1.0):
+        self.gdl = GeneralizedDiceLoss(
+            include_background=include_background, sigmoid=sigmoid,
+            softmax=softmax, w_type=w_type, batch=batch,
+            smooth_nr=smooth_nr, smooth_dr=smooth_dr)
+        self.focal = FocalLoss(include_background=include_background,
+                               gamma=gamma, use_softmax=softmax)
+        self.lambda_gdl = lambda_gdl
+        self.lambda_focal = lambda_focal
+
+    def __call__(self, pred, target):
+        return (self.lambda_gdl * self.gdl(pred, target)
+                + self.lambda_focal * self.focal(pred, target))
+
+
+class SSIMLoss:
+    """MONAI SSIMLoss (3D): 1 - mean SSIM with a gaussian (or uniform) window.
+
+    Inputs are channel-last ``(N, D, H, W, C)`` like every loss here; the
+    window convolutions are VALID (MONAI pads nothing), separable, computed
+    per channel in f32 on device.
+    """
+
+    def __init__(self, spatial_dims: int = 3, data_range: float = 1.0,
+                 kernel_type: str = "gaussian", win_size: int = 11,
+                 kernel_sigma: float = 1.5, k1: float = 0.01, k2: float = 0.03,
+                 reduction: str = "mean"):
+        if spatial_dims != 3:
+            raise NotImplementedError("unet3d_tpu SSIMLoss is 3D")
+        self.data_range = float(data_range)
+        self.k1, self.k2 = float(k1), float(k2)
+        self.reduction = reduction
+        import numpy as np
+        if kernel_type == "gaussian":
+            half = (win_size - 1) / 2.0
+            x = np.arange(win_size, dtype=np.float64) - half
+            k = np.exp(-0.5 * (x / kernel_sigma) ** 2)
+        elif kernel_type == "uniform":
+            k = np.ones(win_size, dtype=np.float64)
+        else:
+            raise ValueError(f"SSIMLoss kernel_type {kernel_type!r}")
+        self._kernel = jnp.asarray((k / k.sum()).astype(np.float32))
+
+    def _window_mean(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Separable VALID window mean over the three spatial axes of
+        (N, D, H, W, C)."""
+        n, d, h, w, c = x.shape
+        y = jnp.moveaxis(x, -1, 1).reshape(n * c, d, h, w)
+        k = self._kernel
+        for axis in (1, 2, 3):
+            y = jnp.moveaxis(y, axis, -1)
+            y = jax.lax.conv_general_dilated(
+                y.reshape(-1, y.shape[-1])[:, None, :],
+                k[None, None, :], (1,), "VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+            ).reshape(y.shape[:-1] + (-1,))
+            y = jnp.moveaxis(y, -1, axis)
+        out_spatial = y.shape[1:]
+        return jnp.moveaxis(y.reshape((n, c) + out_spatial), 1, -1)
+
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        win = int(self._kernel.shape[0])
+        small = [s for s in pred.shape[1:4] if s < win]
+        if small:
+            raise ValueError(
+                f"SSIMLoss win_size={win} exceeds spatial dims "
+                f"{tuple(pred.shape[1:4])}; pass a smaller win_size")
+        x = _f32(pred)
+        y = target.astype(x.dtype)
+        c1 = (self.k1 * self.data_range) ** 2
+        c2 = (self.k2 * self.data_range) ** 2
+        mu_x = self._window_mean(x)
+        mu_y = self._window_mean(y)
+        sxx = self._window_mean(x * x) - mu_x * mu_x
+        syy = self._window_mean(y * y) - mu_y * mu_y
+        sxy = self._window_mean(x * y) - mu_x * mu_y
+        ssim = ((2 * mu_x * mu_y + c1) * (2 * sxy + c2)) / (
+            (mu_x * mu_x + mu_y * mu_y + c1) * (sxx + syy + c2))
+        return _reduce(1.0 - ssim, self.reduction)
+
+
 class CrossEntropyLoss:
     """torch.nn.CrossEntropyLoss over one-hot/probability targets (channel-last)."""
 
@@ -417,6 +505,8 @@ LOSS_REGISTRY = {
     "FocalLoss": FocalLoss,
     "DiceCELoss": DiceCELoss,
     "DiceFocalLoss": DiceFocalLoss,
+    "GeneralizedDiceFocalLoss": GeneralizedDiceFocalLoss,
+    "SSIMLoss": SSIMLoss,
     "CrossEntropyLoss": CrossEntropyLoss,
     "BCEWithLogitsLoss": BCEWithLogitsLoss,
     "MSELoss": MSELoss,
