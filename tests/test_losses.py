@@ -328,3 +328,45 @@ def test_ssim_matches_uniform_window_numpy_reference():
     ssim = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
         (mx ** 2 + my ** 2 + c1) * (sxx + syy + c2))
     assert got == pytest.approx(float(1 - ssim.mean()), rel=1e-4)
+
+
+def test_torch_named_losses_match_torch_functional():
+    """Real-torch goldens for every torch-named loss (not manual formulas)."""
+    torch = pytest.importorskip("torch")
+    from unet3d_tpu.train.losses import load_criterion
+    rng = np.random.RandomState(7)
+    pred = rng.randn(2, 4, 4, 4, 3).astype(np.float32)
+    target = rng.rand(2, 4, 4, 4, 3).astype(np.float32)
+    tp = torch.tensor(pred)
+    tt = torch.tensor(target)
+    cases = [
+        ("MSELoss", {}, torch.nn.functional.mse_loss(tp, tt)),
+        ("L1Loss", {}, torch.nn.functional.l1_loss(tp, tt)),
+        ("SmoothL1Loss", {"beta": 0.5},
+         torch.nn.functional.smooth_l1_loss(tp, tt, beta=0.5)),
+        ("HuberLoss", {"delta": 0.7},
+         torch.nn.functional.huber_loss(tp, tt, delta=0.7)),
+        ("BCEWithLogitsLoss", {},
+         torch.nn.functional.binary_cross_entropy_with_logits(tp, tt)),
+    ]
+    for name, kwargs, expected in cases:
+        got = float(load_criterion(name, kwargs)(jnp.asarray(pred),
+                                                 jnp.asarray(target)))
+        assert got == pytest.approx(float(expected), rel=1e-5), name
+
+
+def test_cross_entropy_matches_torch_onehot_and_probabilities():
+    torch = pytest.importorskip("torch")
+    from unet3d_tpu.train.losses import load_criterion
+    rng = np.random.RandomState(8)
+    pred = rng.randn(2, 4, 4, 4, 3).astype(np.float32)
+    # soft probability targets (torch CE accepts class probabilities)
+    raw = rng.rand(2, 4, 4, 4, 3).astype(np.float32)
+    target = raw / raw.sum(-1, keepdims=True)
+    got = float(load_criterion("CrossEntropyLoss")(jnp.asarray(pred),
+                                                   jnp.asarray(target)))
+    # torch: (N, C, ...) channel-first
+    tp = torch.tensor(pred.transpose(0, 4, 1, 2, 3))
+    tt = torch.tensor(target.transpose(0, 4, 1, 2, 3))
+    expected = float(torch.nn.functional.cross_entropy(tp, tt))
+    assert got == pytest.approx(expected, rel=1e-5)
