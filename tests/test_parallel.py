@@ -205,3 +205,63 @@ def test_sppin_192_cube_trains_on_space_mesh():
     new_state, loss = step(state, images, labels)
     assert np.isfinite(float(loss))
     assert int(new_state.step) == 1
+
+
+def test_dp_batchnorm_model_matches_single_device():
+    """SegResNetDS carries batch_stats: under data sharding XLA SPMD reduces
+    the BN statistics over the GLOBAL batch, so the sharded step must equal
+    the single-device step exactly (SGD per the Adam reduction-order caveat
+    in CLAUDE.md)."""
+    def setup():
+        model = create_model("SegResNetDS", init_filters=2, in_channels=1,
+                             out_channels=1, blocks_down=(1, 1))
+        variables = init_params(model, (8, 8, 8, 1))
+        tx = build_optimizer("SGD", lr=1e-2)
+        return model, tx, create_train_state(variables, tx)
+
+    rng = np.random.RandomState(1)
+    images = rng.rand(4, 1, 8, 8, 8).astype(np.float32)
+    labels = (rng.rand(4, 1, 8, 8, 8) > 0.5).astype(np.float32)
+
+    model, tx, state = setup()
+    single = make_train_step(model, DiceLoss(sigmoid=True), tx)
+    s1, loss1 = single(state, jnp.asarray(images), jnp.asarray(labels))
+
+    model, tx, state = setup()
+    mesh = make_mesh({"data": 4})
+    sharded = make_sharded_train_step(model, DiceLoss(sigmoid=True), tx, mesh)
+    state = replicate_state(state, mesh)
+    s2, loss2 = sharded(state, shard_batch(jnp.asarray(images), mesh),
+                        shard_batch(jnp.asarray(labels), mesh))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    k1 = jax.device_get(s1.params)["conv_init"]["kernel"]
+    k2 = jax.device_get(s2.params)["conv_init"]["kernel"]
+    np.testing.assert_allclose(k1, k2, atol=1e-6)
+    # BN running stats must also agree (global-batch statistics)
+    m1 = jax.device_get(s1.extra_variables["batch_stats"])
+    m2 = jax.device_get(s2.extra_variables["batch_stats"])
+    for a, b in zip(jax.tree_util.tree_leaves(m1),
+                    jax.tree_util.tree_leaves(m2)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_dp_swin_attention_model_runs_sharded():
+    """SwinUNETR's window partition/roll reshapes must compile and run under
+    batch sharding."""
+    model = create_model("SwinUNETR", img_size=(32, 32, 32), in_channels=1,
+                         out_channels=1, feature_size=2,
+                         depths=(1, 1, 1, 1), num_heads=(1, 1, 2, 2),
+                         window_size=2)
+    variables = init_params(model, (32, 32, 32, 1))
+    tx = build_optimizer("SGD", lr=1e-2)
+    state = create_train_state(variables, tx)
+    rng = np.random.RandomState(2)
+    images = rng.rand(2, 1, 32, 32, 32).astype(np.float32)
+    labels = (rng.rand(2, 1, 32, 32, 32) > 0.5).astype(np.float32)
+    mesh = make_mesh({"data": 2})
+    step = make_sharded_train_step(model, DiceLoss(sigmoid=True), tx, mesh)
+    state = replicate_state(state, mesh)
+    new_state, loss = step(state, shard_batch(jnp.asarray(images), mesh),
+                           shard_batch(jnp.asarray(labels), mesh))
+    assert np.isfinite(float(loss))
+    assert int(new_state.step) == 1
