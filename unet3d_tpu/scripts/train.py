@@ -133,6 +133,7 @@ def run(config_filename, output_dir, namespace):
     state = create_train_state(variables, tx)
     n_devices = int(in_config("n_gpus", system_config, 1))
     predict_mesh = None
+    batch_sharding = None  # set on the mesh path; used by the device prefetcher
     if n_devices > 1:
         # The reference wraps in DataParallel here (`unet3d/models/build.py:18-20`);
         # TPU-native: batch sharded over a data-axis mesh, XLA all-reduces grads.
@@ -165,9 +166,26 @@ def run(config_filename, output_dir, namespace):
         # whole-case prediction spreads each volume's D axis across devices
         # (context-parallel analog); batch stays 1 per case
         predict_mesh = make_mesh({"space": n_devices})
+        from unet3d_tpu.data.prefetch import mesh_batch_sharding
+        batch_sharding = mesh_batch_sharding(mesh)
     else:
         train_step = make_train_step(model, criterion, tx, amp=amp)
         eval_step = make_eval_step(model, criterion, inferer=inferer, amp=amp)
+
+    # Double-buffered device puts (SURVEY §7 stage 5; ref analog DataLoader
+    # pin_memory/prefetch_factor, `scripts/script_utils.py:124-129`): batch
+    # i+1 ships into HBM (pre-sharded on the mesh path) while step i runs.
+    # UNET3D_TPU_PREFETCH sets the buffer depth; 0 disables.
+    prefetch_depth = int(os.environ.get("UNET3D_TPU_PREFETCH", "2") or 0)
+    if prefetch_depth > 0:
+        from unet3d_tpu.data.prefetch import DevicePrefetcher
+        training_loader = DevicePrefetcher(training_loader,
+                                           sharding=batch_sharding,
+                                           depth=prefetch_depth)
+        if validation_loader is not None:
+            validation_loader = DevicePrefetcher(validation_loader,
+                                                 sharding=batch_sharding,
+                                                 depth=prefetch_depth)
 
     state = run_training(
         train_step=train_step, eval_step=eval_step, state=state,
