@@ -105,6 +105,24 @@ def main():
         print(f"epoch {epoch} ({tag}): {dt:.3f} s/sample over {n} samples "
               f"(loss {loss_val:.4f})", flush=True)
 
+    # warm epochs through the double-buffered device prefetcher: batch i+1's
+    # host->device put overlaps step i (data/prefetch.py; SURVEY §7 stage 5).
+    # Expect ~max(transfer, loader) instead of transfer + loader + step.
+    from unet3d_tpu.data.prefetch import DevicePrefetcher
+    prefetched = DevicePrefetcher(loader)
+    for epoch in (3, 4):
+        prefetched.set_epoch(epoch)
+        t0 = time.perf_counter()
+        n = 0
+        loss = None
+        for batch in prefetched:
+            state, loss = step(state, batch["image"], batch["label"])
+            n += 1
+        loss_val = float(loss)
+        dt = (time.perf_counter() - t0) / n
+        print(f"epoch {epoch} (warm+prefetch): {dt:.3f} s/sample over {n} "
+              f"samples (loss {loss_val:.4f})", flush=True)
+
 
     # attribution: host-only (loader, no device) and transfer-only costs
     loader.set_epoch(3)

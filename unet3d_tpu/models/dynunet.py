@@ -45,8 +45,15 @@ class _StatsInstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, y: jnp.ndarray, s1: jnp.ndarray,
                  s2: jnp.ndarray) -> jnp.ndarray:
+        from unet3d_tpu.ops.norm import (instance_norm_from_stats,
+                                         use_custom_in_vjp)
         scale = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        if use_custom_in_vjp():
+            # OPT-IN (UNET3D_TPU_IN_VJP=1) canonical one-pass norm backward;
+            # measured 4 ms/step SLOWER in the full train step than XLA's
+            # derived gradient — see ops/norm.py module note
+            return instance_norm_from_stats(y, s1, s2, scale, bias, 1e-5)
         m = float(np.prod(y.shape[1:4]))
         mean = s1 / m                                    # (N, C) f32
         var = jnp.maximum(s2 / m - mean * mean, 0.0)
@@ -196,21 +203,33 @@ class DynUNet(nn.Module):
             block = nn.remat(block)
             up_block = nn.remat(UnetUpBlock)
 
+        # Level-boundary sharding anchors: no-ops under a single-device jit;
+        # under a (data, space) mesh they pin each level's activation (and its
+        # cotangent) to a consistent layout — without them SPMD derived
+        # conflicting forward/backward shardings at levels where D shrank
+        # below the space axis and fell back to full rematerialization
+        # (parallel/mesh.py activation_spec).
+        from unet3d_tpu.parallel.mesh import constrain_activation
+
         skips = []
         x = block(filters[0], self.kernel_size[0], self.strides[0], name="input_block")(x)
+        x = constrain_activation(x)
         skips.append(x)
         for i in range(1, n - 1):
             x = block(filters[i], self.kernel_size[i], self.strides[i],
                       name=f"downsample{i - 1}")(x)
+            x = constrain_activation(x)
             skips.append(x)
         x = block(filters[n - 1], self.kernel_size[n - 1], self.strides[n - 1],
                   name="bottleneck")(x)
+        x = constrain_activation(x)
 
         heads = []
         for i in range(n - 2, -1, -1):
             x = up_block(filters[i], self.kernel_size[i + 1],
                          self.upsample_kernel_size[i],
                          name=f"upsample{n - 2 - i}")(x, skips[i])
+            x = constrain_activation(x)
             if self.deep_supervision and 0 < i <= self.deep_supr_num:
                 heads.append(PointwiseConv(self.out_channels,
                                            name=f"deep_supervision_head{i}")(x))

@@ -20,6 +20,8 @@ envelope; the mesh builder accepts a ``model`` axis for experiments.
 """
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -28,6 +30,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unet3d_tpu.train.step import (TrainState, tpu_compiler_options,
                                    train_step_body)
+
+_ACTIVE = threading.local()  # mesh in scope while tracing a sharded step
+
+
+@contextmanager
+def activation_sharding(mesh: Mesh):
+    """Make ``constrain_activation`` active while tracing a sharded program.
+
+    The sharded step/forward builders wrap their bodies in this context so
+    models that call :func:`constrain_activation` at level boundaries get
+    explicit activation shardings; outside the context (single-device jit)
+    the calls are no-ops.
+    """
+    prev = getattr(_ACTIVE, "mesh", None)
+    _ACTIVE.mesh = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE.mesh = prev
+
+
+def activation_spec(mesh: Mesh, shape) -> P:
+    """(data, space) spec for an NDHWC activation, degrading to replicated on
+    any axis the shape can't shard: deep U-Net levels where D has shrunk below
+    the ``space`` axis would otherwise make SPMD invent a reshard — the
+    involuntary-full-rematerialization warning in the r3 dryrun
+    (MULTICHIP_r03) came from a bf16[1,1,1,1,C] bottleneck gradient being
+    resharded from data-sharded to space-sharded layout in the backward."""
+    axes = mesh.shape
+    data = ("data" if "data" in axes and axes["data"] > 1
+            and shape[0] % axes["data"] == 0 else None)
+    space = ("space" if "space" in axes and axes["space"] > 1
+             and shape[1] % axes["space"] == 0 else None)
+    return P(data, space, None, None, None)
+
+
+def constrain_activation(x):
+    """Pin an NDHWC activation (and, through the transpose rule, its cotangent)
+    to the consistent (data, space) layout. No-op outside
+    :func:`activation_sharding` scope or for non-5D values."""
+    mesh = getattr(_ACTIVE, "mesh", None)
+    if mesh is None or getattr(x, "ndim", 0) != 5:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, activation_spec(mesh, x.shape)))
 
 
 def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
@@ -89,24 +136,47 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
     scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
     collectives.
     """
-    replicated = NamedSharding(mesh, P())
-    data_sharded = NamedSharding(mesh, batch_spec(mesh))
-    body = train_step_body(model, criterion, tx, amp=amp)
     jitted = {}  # keyed by label rank: the label sharding depends on it
 
     def step(state, images, labels):
         ndim = labels.ndim
         if ndim not in jitted:
-            y_sharded = NamedSharding(mesh, label_spec(mesh, ndim))
-            jitted[ndim] = jax.jit(
-                body,
-                in_shardings=(replicated, data_sharded, y_sharded),
-                out_shardings=(replicated, replicated),
-                donate_argnums=(0,),
-                compiler_options=tpu_compiler_options())
+            jitted[ndim] = _sharded_train_jit(model, criterion, tx, mesh,
+                                              amp=amp, label_ndim=ndim)
         return jitted[ndim](state, images, labels)
 
     return step
+
+
+def _sharded_train_jit(model, criterion: Callable, tx, mesh: Mesh,
+                       amp: bool, label_ndim: int):
+    """The jitted sharded train step for one label rank (see
+    make_sharded_train_step); activation constraints are live during trace."""
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, batch_spec(mesh))
+    y_sharded = NamedSharding(mesh, label_spec(mesh, label_ndim))
+    body = train_step_body(model, criterion, tx, amp=amp)
+
+    def traced_body(state, images, labels):
+        with activation_sharding(mesh):
+            return body(state, images, labels)
+
+    return jax.jit(traced_body,
+                   in_shardings=(replicated, data_sharded, y_sharded),
+                   out_shardings=(replicated, replicated),
+                   donate_argnums=(0,),
+                   compiler_options=tpu_compiler_options())
+
+
+def sharded_train_step_hlo(model, criterion: Callable, tx, mesh: Mesh,
+                           state, images, labels, amp: bool = False) -> str:
+    """Post-SPMD compiled HLO of the sharded train step — the collective
+    inventory. Used by tests to assert the communication pattern is the
+    intended one (gradient all-reduce + halo collective-permutes, no
+    full-activation all-gathers); see PERF.md "Mesh collective inventory"."""
+    jitted = _sharded_train_jit(model, criterion, tx, mesh, amp=amp,
+                                label_ndim=labels.ndim)
+    return jitted.lower(state, images, labels).compile().as_text()
 
 
 def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
@@ -145,12 +215,16 @@ def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,
 
     jitted = {}  # keyed by label rank, as in make_sharded_train_step
 
+    def traced_eval(state, images, labels):
+        with activation_sharding(mesh):
+            return eval_step(state, images, labels)
+
     def step(state, images, labels):
         ndim = labels.ndim
         if ndim not in jitted:
             y_sharded = NamedSharding(mesh, label_spec(mesh, ndim))
             jitted[ndim] = jax.jit(
-                eval_step,
+                traced_eval,
                 in_shardings=(replicated, data_sharded, y_sharded),
                 out_shardings=replicated,
                 compiler_options=tpu_compiler_options())
@@ -178,7 +252,8 @@ def make_sharded_forward(model, mesh: Mesh) -> Callable:
 
     def forward(state: TrainState, x):
         variables = {"params": state.params, **state.extra_variables}
-        out = model.apply(variables, x, False)
+        with activation_sharding(mesh):
+            out = model.apply(variables, x, False)
         if isinstance(out, tuple):
             out = out[0]
         return out

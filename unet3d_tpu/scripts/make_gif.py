@@ -29,7 +29,7 @@ muted_palette = ([72, 120, 208],
                  [130, 198, 226])
 
 
-def parse_args():
+def parse_args(args=None):
     parser = ArgumentParser()
     parser.add_argument("--background", required=True,
                         help="Filename for the background image file.")
@@ -53,7 +53,7 @@ def parse_args():
                         help="Axcodes for re-ordering image orientations on load.")
     parser.add_argument("--include_zero", default=False, action="store_true",
                         help="Include zero as a label value.")
-    return parser.parse_args()
+    return parser.parse_args(args)
 
 
 def get_palette(name: str = "muted"):
@@ -152,8 +152,8 @@ def make_gif(background, labelmap1, labelmap2, output, labels=("Expert", "UNet")
     return output
 
 
-def main():
-    ns = parse_args()
+def main(args=None):
+    ns = parse_args(args)
     make_gif(background=ns.background, labelmap1=ns.labelmap1, labelmap2=ns.labelmap2,
              output=ns.output, labels=tuple(ns.labels), text_size=ns.text_size,
              fps=ns.fps, pad=ns.pad, palette=ns.palette, axcodes=ns.axcodes,

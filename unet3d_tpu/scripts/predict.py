@@ -41,8 +41,8 @@ def format_parser(parser=None, sub_command: bool = False):
     return parser
 
 
-def parse_args():
-    return format_parser().parse_args()
+def parse_args(args=None):
+    return format_parser().parse_args(args)
 
 
 def run_inference(config, output_directory, model_filename, group, activation,
@@ -97,12 +97,12 @@ def run_inference(config, output_directory, model_filename, group, activation,
                                   mesh=mesh, amp=amp)
 
 
-def main():
+def main(args=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     from unet3d_tpu.utils.compile_cache import maybe_enable_compile_cache
     maybe_enable_compile_cache()
-    namespace = parse_args()
+    namespace = parse_args(args)
     logging.info("Config filename: %s", namespace.config_filename)
     config = load_json(namespace.config_filename)
     run_inference(config=config, output_directory=namespace.output_directory,

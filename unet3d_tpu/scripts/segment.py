@@ -40,12 +40,12 @@ def format_parser(parser=None, sub_command: bool = False):
     return parser
 
 
-def parse_args():
-    return format_parser(argparse.ArgumentParser(), sub_command=False).parse_args()
+def parse_args(args=None):
+    return format_parser(argparse.ArgumentParser(), sub_command=False).parse_args(args)
 
 
-def main():
-    namespace = parse_args()
+def main(args=None):
+    namespace = parse_args(args)
     overwrite = not namespace.no_overwrite
     if namespace.output_filenames:
         output_filenames = namespace.output_filenames
