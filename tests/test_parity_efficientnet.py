@@ -2,12 +2,11 @@
 
 Pins the MBConv conventions: 1x1 expand / depthwise-grouped kxk / SE gate on
 pre-expand channel count / 1x1 project, BN eps=1e-3, SiLU (swish), identity
-skip rules, head conv + GAP + Dense. The depthwise padding uses this
-framework's documented symmetric k//2 convention (MONAI computes TF-style
-asymmetric pads on stride-2 stages — divergence documented in
-models/efficientnet.py); the torch replica uses the same symmetric pads, so
-this test pins every torch-level convention while the alignment divergence
-remains a documented design choice.
+skip rules, head conv + GAP + Dense — including MONAI's TF-style "same"
+padding (asymmetric lo=total//2 / hi=total-total//2, e.g. (0,1) for k3 s2 on
+even sizes; `_get_same_padding_conv_nd`), which the stem and every
+depthwise conv now follow exactly (models/efficientnet.py `_tf_same_pads` —
+the r3 symmetric-pad divergence is resolved).
 
 monai is not installed in this image; the torch network below is an
 independent re-implementation built from torch primitives (eval mode, BN
@@ -44,6 +43,15 @@ def _bn3(ch):
     return torch.nn.BatchNorm3d(ch, eps=1e-3)
 
 
+def _tf_pad(x, kernel, stride):
+    """MONAI/TF 'same' pad: F.pad order is last-dim-first (W,H,D)."""
+    pads = []
+    for n in reversed(x.shape[2:]):
+        total = max((-(-int(n) // stride) - 1) * stride + kernel - int(n), 0)
+        pads.extend([total // 2, total - total // 2])
+    return torch.nn.functional.pad(x, pads)
+
+
 class TorchMBConv(torch.nn.Module):
     def __init__(self, in_ch, out_ch, kernel, stride, expand, se_ratio):
         super().__init__()
@@ -53,9 +61,9 @@ class TorchMBConv(torch.nn.Module):
         if expand != 1:
             self.expand_conv = torch.nn.Conv3d(in_ch, mid, 1, bias=False)
             self.bn0 = _bn3(mid)
+        self.kernel = kernel
         self.depthwise = torch.nn.Conv3d(mid, mid, kernel, stride=stride,
-                                         padding=kernel // 2, groups=mid,
-                                         bias=False)
+                                         padding=0, groups=mid, bias=False)
         self.bn1 = _bn3(mid)
         se_ch = max(1, int(in_ch * se_ratio))
         self.se_reduce = torch.nn.Conv3d(mid, se_ch, 1)
@@ -68,7 +76,7 @@ class TorchMBConv(torch.nn.Module):
         y = x
         if self.expand != 1:
             y = silu(self.bn0(self.expand_conv(y)))
-        y = silu(self.bn1(self.depthwise(y)))
+        y = silu(self.bn1(self.depthwise(_tf_pad(y, self.kernel, self.stride))))
         s = y.mean(dim=(2, 3, 4), keepdim=True)
         s = self.se_expand(silu(self.se_reduce(s)))
         y = y * torch.sigmoid(s)
@@ -120,7 +128,7 @@ def test_efficientnet_b0_forward_matches_torch_transplant():
 
     width, depth = 1.0, 1.0
     stem = torch.nn.Conv3d(1, _round_filters(32, width), 3, stride=2,
-                           padding=1, bias=False)
+                           padding=0, bias=False)
     stem_bn = _bn3(_round_filters(32, width))
     stem.weight.data = _conv_w(params["stem_conv"]["kernel"])
     _load_bn(stem_bn, params["stem_bn"], stats["stem_bn"])
@@ -147,7 +155,8 @@ def test_efficientnet_b0_forward_matches_torch_transplant():
 
     silu = torch.nn.functional.silu
     with torch.no_grad():
-        y = silu(stem_bn.eval()(stem(_t(x.transpose(0, 4, 1, 2, 3)))))
+        y = silu(stem_bn.eval()(stem(_tf_pad(_t(x.transpose(0, 4, 1, 2, 3)),
+                                             3, 2))))
         for blk in blocks:
             y = blk(y)
         y = silu(head_bn.eval()(head(y)))

@@ -78,6 +78,17 @@ def _swish(x):
     return x * nn.sigmoid(x)
 
 
+def _tf_same_pads(sizes, kernel: int, stride: int):
+    """TF/MONAI 'same' pads per spatial dim: total = max((ceil(n/s)-1)*s+k-n, 0),
+    split (total//2, total-total//2) — low side gets the SMALLER half
+    (monai EfficientNet `_get_same_padding_conv_nd` + ConstantPad order)."""
+    pads = []
+    for n in sizes:
+        total = max((-(-int(n) // stride) - 1) * stride + kernel - int(n), 0)
+        pads.append((total // 2, total - total // 2))
+    return tuple(pads)
+
+
 class MBConvBlock(nn.Module):
     kernel: int
     stride: int
@@ -95,13 +106,14 @@ class MBConvBlock(nn.Module):
         if self.expand_ratio != 1:
             y = PointwiseConv(mid, use_bias=False, name="expand_conv")(y)
             y = _swish(_bn("bn0", train)(y))
-        # depthwise conv. Padding note: MONAI computes TF-style asymmetric
-        # "same" padding ((0,1) low/high for k3 s2); k//2 symmetric padding
-        # gives identical shapes and parameters with a one-voxel alignment
-        # shift on stride-2 stages only — documented divergence.
-        pad = self.kernel // 2
+        # depthwise conv with MONAI's TF-style "same" padding — asymmetric
+        # (lo = total//2, hi = total - total//2), e.g. (0,1) for k3 s2 on
+        # even sizes; shapes are static under jit so the pads resolve at
+        # trace time exactly like MONAI's _make_same_padder
         y = nn.Conv(mid, (self.kernel,) * 3, strides=(self.stride,) * 3,
-                    padding=[(pad, pad)] * 3, feature_group_count=mid,
+                    padding=_tf_same_pads(y.shape[1:4], self.kernel,
+                                          self.stride),
+                    feature_group_count=mid,
                     use_bias=False, name="depthwise_conv")(y)
         y = _swish(_bn("bn1", train)(y))
         if self.se_ratio > 0:
@@ -144,7 +156,8 @@ class EfficientNetBN(nn.Module):
                    else self.dropout_rate)
 
         y = nn.Conv(_round_filters(32, width), (3, 3, 3), strides=(2, 2, 2),
-                    padding=[(1, 1)] * 3, use_bias=False, name="stem_conv")(x)
+                    padding=_tf_same_pads(x.shape[1:4], 3, 2),
+                    use_bias=False, name="stem_conv")(x)
         y = _swish(_bn("stem_bn", train)(y))
 
         total_blocks = sum(_round_repeats(r, depth) for r, *_ in _B0_BLOCKS)
