@@ -31,6 +31,7 @@ def run_step(trace: bool = True, n_warm: int = 2, n_prof: int = 3):
     from unet3d_tpu.train.step import create_train_state, make_train_step
 
     size = int(os.environ.get("PROF_SIZE", "128"))
+    batch = int(os.environ.get("PROF_BATCH", "1"))
     strides = [[1, 1, 1]] + [[2, 2, 2]] * 5
     model = create_model(
         "DynUNet", in_channels=4, out_channels=3, spatial_dims=3,
@@ -44,8 +45,8 @@ def run_step(trace: bool = True, n_warm: int = 2, n_prof: int = 3):
     step = make_train_step(model, criterion, tx, amp=True)
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(1, 4, size, size, size), jnp.float32)
-    labels = jnp.asarray((rng.rand(1, 3, size, size, size) > 0.5).astype(np.float32))
+    images = jnp.asarray(rng.rand(batch, 4, size, size, size), jnp.float32)
+    labels = jnp.asarray((rng.rand(batch, 3, size, size, size) > 0.5).astype(np.float32))
 
     for _ in range(n_warm):
         state, loss = step(state, images, labels)
@@ -55,7 +56,9 @@ def run_step(trace: bool = True, n_warm: int = 2, n_prof: int = 3):
     for _ in range(5):
         state, loss = step(state, images, labels)
     float(loss)
-    print(f"steady: {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms/step", flush=True)
+    dt = (time.perf_counter() - t0) / 5
+    print(f"steady: {dt * 1e3:.1f} ms/step  "
+          f"({batch / dt:.2f} patches/sec, batch={batch})", flush=True)
 
     if trace:
         import jax.profiler
@@ -118,6 +121,10 @@ def parse_trace(n_prof: int = 3):
 
 
 if __name__ == "__main__":
-    if "--parse-only" not in sys.argv:
+    if "--time-only" in sys.argv:
+        run_step(trace=False)
+    elif "--parse-only" in sys.argv:
+        parse_trace()
+    else:
         run_step()
-    parse_trace()
+        parse_trace()

@@ -135,11 +135,27 @@ def conv1(features: int, stride: Ints3 = 1, use_bias: bool = True,
 from functools import partial
 
 
+import os as _os
+
+# Subpixel interleave formulation (UNET3D_TPU_SUBPIX):
+#   merged  — pre-merge the (kw, co) block into one unit before the transpose:
+#             the fine-W interleave (w, kw, co) -> (2w, co) is then a row-major
+#             bitcast, so the transpose only permutes the outer (d,kd)/(h,kh)
+#             dims against a contiguous kw*co-lane row (measured fwd 3.16 vs
+#             4.10 ms at the level-4 DynUNet shape, tools/microbench_r4.py).
+#   full    — 8D reshape + transpose (the naive form).
+_SUBPIX_MODE = _os.environ.get("UNET3D_TPU_SUBPIX", "merged")
+
+
 def _subpixel_impl(k: Tuple[int, int, int], x: jnp.ndarray,
                    wm: jnp.ndarray) -> jnp.ndarray:
     n, d, h, w, c = x.shape
     co = wm.shape[1] // (k[0] * k[1] * k[2])
     y = jnp.einsum("ndhwc,ck->ndhwk", x, wm)
+    if _SUBPIX_MODE == "merged":
+        y = y.reshape(n, d, h, w, k[0], k[1], k[2] * co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))
+        return y.reshape(n, d * k[0], h * k[1], w * k[2], co)
     y = y.reshape(n, d, h, w, k[0], k[1], k[2], co)
     # NOTE: lax.reshape(dimensions=...) looks like it should fuse this
     # transpose+reshape into one copy but lowers 4x slower on v5e
@@ -169,8 +185,14 @@ def _subpixel_bwd(k, res, g):
     x, wm = res
     n, d, h, w, c = x.shape
     co = wm.shape[1] // (k[0] * k[1] * k[2])
-    gr = g.reshape(n, d, k[0], h, k[1], w, k[2], co)
-    gr = jnp.transpose(gr, (0, 1, 3, 5, 2, 4, 6, 7))
+    if _SUBPIX_MODE == "merged":
+        # mirror of the merged fwd: (2w, co) -> (w, kw*co) is a bitcast, the
+        # transpose un-permutes only the outer (d,kd)/(h,kh) dims
+        gr = g.reshape(n, d, k[0], h, k[1], w, k[2] * co)
+        gr = jnp.transpose(gr, (0, 1, 3, 5, 2, 4, 6))
+    else:
+        gr = g.reshape(n, d, k[0], h, k[1], w, k[2], co)
+        gr = jnp.transpose(gr, (0, 1, 3, 5, 2, 4, 6, 7))
     gf = gr.reshape(n, d, h, w, k[0] * k[1] * k[2] * co)
     dx = jnp.einsum("ndhwk,ck->ndhwc", gf, wm)
     dwm = jnp.einsum("ndhwc,ndhwk->ck", x, gf)

@@ -85,6 +85,53 @@ def conv3d_decomp2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def conv3d_s2_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """SAME k3s2 conv as space-to-depth + one k2s1 VALID conv (exact).
+
+    With xp = pad(x, 1) and the parity grid sp[i, p] = xp[2i+p], every tap
+    k = 2j + p of the strided conv becomes tap j of a stride-1 conv over sp:
+    out[o] = sum_{j,p} sp[o+j, p] w[2j+p]. The (j,p) pairs with 2j+p > 2 get
+    zero weights (27 real taps in 64 slots, 2.37x the MACs) — but the
+    backward turns into canonical stride-1 wgrad/dgrad convs instead of the
+    rhs-dilated wgrad XLA lowers at 15 TFLOPs (round-4 trace, PERF.md), and
+    the 8*C input channels quadruple the MXU contraction depth.
+
+    The S2D relayout keeps (pw, c) as the minor block so the W-axis split is
+    a free row-major reshape; only (d, pd)/(h, ph) permute (the same trick as
+    the subpixel interleave in models/layers.py).
+    """
+    n, D, H, W, c = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    d2, h2, w2 = (D + 2) // 2, (H + 2) // 2, (W + 2) // 2
+    sp = xp.reshape(n, d2, 2, h2, 2, w2, 2 * c)
+    sp = jnp.transpose(sp, (0, 1, 3, 5, 2, 4, 6))
+    sp = sp.reshape(n, d2, h2, w2, 8 * c)
+    # kernel slots: (j, p) per dim with k = 2j + p <= 2; channel blocks are
+    # ordered (pd, ph, pw, c) to match the S2D layout above
+    w2k = jnp.zeros((2, 2, 2, 8, c, co), w.dtype)
+    dim_taps = [(0, 0), (0, 1), (1, 0)]  # (j, p) -> k = 2j + p in {0, 1, 2}
+    for jd, pd in dim_taps:
+        for jh, ph in dim_taps:
+            for jw, pw in dim_taps:
+                w2k = w2k.at[jd, jh, jw, pd * 4 + ph * 2 + pw].set(
+                    w[2 * jd + pd, 2 * jh + ph, 2 * jw + pw])
+    w2k = w2k.reshape(2, 2, 2, 8 * c, co)
+    return jax.lax.conv_general_dilated(
+        sp, w2k, (1, 1, 1), "VALID", dimension_numbers=_DIMENSION_NUMBERS,
+        preferred_element_type=x.dtype)
+
+
+# Stride-2 conv strategy (UNET3D_TPU_S2GRAD): "xla" (default) or "s2d".
+_S2_STRATEGY = os.environ.get("UNET3D_TPU_S2GRAD", "xla")
+
+
+def _s2d_eligible(x_shape, w_shape, stride, same_padding) -> bool:
+    return (_S2_STRATEGY == "s2d" and tuple(stride) == (2, 2, 2)
+            and tuple(w_shape[:3]) == (3, 3, 3) and same_padding
+            and all(s % 2 == 0 for s in x_shape[1:4]))
+
+
 def conv3d_with_stats(x: jnp.ndarray, w: jnp.ndarray,
                       stride: Sequence[int] = (1, 1, 1), padding="SAME"):
     """Conv + per-(item, channel) f32 (sum, sum_sq) of the output — the
@@ -158,4 +205,6 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
                 and all(k % 2 == 1 for k in w.shape[:3]) and w.shape[0] > 1)
     if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas", "winograd"):
         return conv3d_decomp2d(x, w)
+    if _s2d_eligible(x.shape, w.shape, stride, same_padding):
+        return conv3d_s2_s2d(x, w)
     return conv3d_xla(x, w, stride, padding)
