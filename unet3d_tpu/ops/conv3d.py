@@ -122,7 +122,8 @@ def conv3d_s2_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=x.dtype)
 
 
-# Stride-2 conv strategy (UNET3D_TPU_S2GRAD): "xla" (default) or "s2d".
+# Stride-2 conv strategy (UNET3D_TPU_S2GRAD): "xla" (default), "s2d", or
+# "pallas" (XLA forward + XLA data-grad + Pallas MXU weight-grad kernel).
 _S2_STRATEGY = os.environ.get("UNET3D_TPU_S2GRAD", "xla")
 
 
@@ -130,6 +131,45 @@ def _s2d_eligible(x_shape, w_shape, stride, same_padding) -> bool:
     return (_S2_STRATEGY == "s2d" and tuple(stride) == (2, 2, 2)
             and tuple(w_shape[:3]) == (3, 3, 3) and same_padding
             and all(s % 2 == 0 for s in x_shape[1:4]))
+
+
+_S2_SAME_PADS = ((1, 1), (1, 1), (1, 1))
+
+
+@jax.custom_vjp
+def conv3d_s2_pallas_wgrad(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """SAME k3s2 conv whose weight gradient runs in the Pallas kernel
+    (ops/pallas/s2_wgrad_kernel.py). Forward and data-grad stay on XLA's
+    fast paths (the data-grad transposed conv measures 72 TFLOPs in-step;
+    only the rhs-dilated weight-grad is slow at ~15, PERF.md round 4)."""
+    return conv3d_xla(x, w, (2, 2, 2), _S2_SAME_PADS)
+
+
+def _s2_pallas_fwd(x, w):
+    return conv3d_s2_pallas_wgrad(x, w), (x, w)
+
+
+def _s2_pallas_bwd(res, g):
+    from unet3d_tpu.ops.pallas.s2_wgrad_kernel import s2_wgrad_pallas
+    x, w = res
+    _, pullback = jax.vjp(
+        lambda xx: conv3d_xla(xx, w, (2, 2, 2), _S2_SAME_PADS), x)
+    dx, = pullback(g)
+    dw = s2_wgrad_pallas(x, g).astype(w.dtype)
+    return dx, dw
+
+
+conv3d_s2_pallas_wgrad.defvjp(_s2_pallas_fwd, _s2_pallas_bwd)
+
+
+def _s2_pallas_eligible(x_shape, w_shape, stride, same_padding) -> bool:
+    if not (_S2_STRATEGY == "pallas" and tuple(stride) == (2, 2, 2)
+            and tuple(w_shape[:3]) == (3, 3, 3) and same_padding):
+        return False
+    from unet3d_tpu.ops.pallas.s2_wgrad_kernel import s2_wgrad_available
+    n, d, h, w, c = x_shape
+    return s2_wgrad_available(
+        x_shape, (n, d // 2, h // 2, w // 2, w_shape[-1]))
 
 
 def conv3d_with_stats(x: jnp.ndarray, w: jnp.ndarray,
@@ -207,4 +247,6 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
         return conv3d_decomp2d(x, w)
     if _s2d_eligible(x.shape, w.shape, stride, same_padding):
         return conv3d_s2_s2d(x, w)
+    if _s2_pallas_eligible(x.shape, w.shape, stride, same_padding):
+        return conv3d_s2_pallas_wgrad(x, w)
     return conv3d_xla(x, w, stride, padding)
