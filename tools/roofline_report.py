@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Trace-backed roofline itemization of the train step (VERDICT r3 item 1c).
+
+Joins the profiler per-op device times (tools/profile_step.py trace) with the
+compiled HLO (tools/dump_hlo.py) to compute, for every op, the HBM bytes it
+moves (sum of operand + output buffer sizes) and the effective bandwidth
+bytes/time. Ops whose effective bandwidth sits at or above ROOFLINE_FRAC of
+the measured HBM copy ceiling (~250 GB/s on this v5e-lite, PERF.md round 1)
+cannot be made faster by a better schedule of the same data movement — only
+by removing the pass entirely. MXU-bound convs naturally report low GB/s;
+they are itemized separately by their op_name.
+
+Usage: python tools/roofline_report.py [trace_dir] [hlo.txt]  (no TPU needed)
+"""
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+TRACE_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_trace_r2"
+HLO = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_step_hlo.txt"
+N_PROF = 3
+HBM_GBPS = 250.0  # measured effective copy bandwidth, PERF.md round 1
+ROOFLINE_FRAC = 0.70
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+                "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8}
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(text: str) -> int:
+    """Total bytes of every array shape mentioned in `text`."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(text):
+        if dtype not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def load_times():
+    files = glob.glob(os.path.join(TRACE_DIR, "**", "*.trace.json.gz"),
+                      recursive=True)
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    device_pids = {pid for pid, name in pid_names.items()
+                   if "TPU" in name or "/device" in name.lower()}
+    per_op = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_") or re.fullmatch(r"\d+", name):
+            continue
+        per_op[name] += e.get("dur", 0) / 1e3 / N_PROF
+    return per_op
+
+
+def load_hlo():
+    """name -> (out_bytes, operand_names, op_name, def_line)."""
+    defs = {}
+    opname_pat = re.compile(r'op_name="([^"]*)"')
+    with open(HLO) as f:
+        for line in f:
+            m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = ", line)
+            if not m:
+                continue
+            name = m.group(1)
+            head, _, _ = line.partition(" = ")
+            rhs = line[len(head) + 3:]
+            # output shape(s): leading token; tuple shapes nest parens in
+            # layout annotations (T(8,128)S(1)) so balance them by hand.
+            if rhs.startswith("("):
+                depth, i = 0, 0
+                for i, ch in enumerate(rhs):
+                    depth += ch == "("
+                    depth -= ch == ")"
+                    if depth == 0:
+                        break
+                shape_txt, rest = rhs[:i + 1], rhs[i + 1:]
+            else:
+                shape_txt, _, rest = rhs.partition(" ")
+                rest = " " + rest
+            out_b = shape_bytes(shape_txt)
+            mop = re.match(r"\s*(\w[\w\-]*)\(", rest)
+            opcode = mop.group(1) if mop else ""
+            # operand names inside the opcode's call parens
+            operands = (re.findall(r"%([\w.\-]+)", rest[mop.end():].split(")")[0])
+                        if mop else [])
+            op = opname_pat.search(line)
+            defs[name] = {"out_b": out_b, "operands": operands,
+                          "opcode": opcode,
+                          "op_name": op.group(1) if op else ""}
+    return defs
+
+
+def main():
+    times = load_times()
+    defs = load_hlo()
+    rows = []
+    for name, ms in times.items():
+        d = defs.get(name)
+        if d is None or ms <= 0:
+            continue
+        op_bytes = [defs[o]["out_b"] for o in d["operands"] if o in defs]
+        # Lower bound on HBM traffic: the op must read its largest operand
+        # once and write its output once (fusions that only read a slice of
+        # an operand can undercut this — treat LB-based saturation as proof,
+        # UB as context). Upper bound: every operand read whole + output.
+        lb = d["out_b"] + (max(op_bytes) if op_bytes else 0)
+        ub = d["out_b"] + sum(op_bytes)
+        gbps = lb / (ms * 1e-3) / 1e9 if ms else 0.0
+        rows.append((ms, name, lb, gbps, d["op_name"], d["opcode"], ub))
+
+    rows.sort(reverse=True)
+    total = sum(r[0] for r in rows)
+    at_roof = sum(r[0] for r in rows if r[3] >= ROOFLINE_FRAC * HBM_GBPS)
+    print(f"total attributed device time {total:.1f} ms/step; "
+          f"{at_roof:.1f} ms ({100*at_roof/total:.0f}%) runs at >= "
+          f"{ROOFLINE_FRAC:.0%} of the {HBM_GBPS:.0f} GB/s HBM ceiling")
+    print(f"{'ms':>7} {'lbMB':>7} {'ubMB':>7} {'GB/s':>7} {'%roof':>6}  {'hlo':28} op_name")
+    for ms, name, b, gbps, op, opcode, ub in rows[:45]:
+        print(f"{ms:7.2f} {b/1e6:7.0f} {ub/1e6:7.0f} {gbps:7.0f} {100*gbps/HBM_GBPS:5.0f}%"
+              f"  {name[:28]:28} {op[:95]}")
+
+    # bucket: bandwidth-saturated vs MXU-bound convs vs headroom
+    print("\n== buckets ==")
+    buckets = defaultdict(float)
+    for ms, name, b, gbps, op, opcode, ub in rows:
+        if gbps >= ROOFLINE_FRAC * HBM_GBPS:
+            buckets["bandwidth-saturated (>=70% roofline)"] += ms
+        elif "conv_general_dilated" in op or "dot_general" in op:
+            buckets["conv/dot emitters (MXU- or emitter-bound)"] += ms
+        else:
+            buckets["below roofline, non-conv (headroom?)"] += ms
+    for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"  {v:8.1f} ms  {k}")
+    print("\n== below-roofline non-conv ops >0.3 ms (the actual headroom list) ==")
+    for ms, name, b, gbps, op, opcode, ub in rows:
+        if (gbps < ROOFLINE_FRAC * HBM_GBPS and ms > 0.3
+                and "conv_general_dilated" not in op and "dot_general" not in op):
+            print(f"{ms:7.2f} {b/1e6:7.0f} {ub/1e6:7.0f} {gbps:7.0f} {100*gbps/HBM_GBPS:5.0f}%"
+                  f"  {name[:28]:28} {op[:95]}")
+
+
+if __name__ == "__main__":
+    main()
