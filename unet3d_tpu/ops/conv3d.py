@@ -126,6 +126,36 @@ def conv3d_s2_s2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 # "pallas" (XLA forward + XLA data-grad + Pallas MXU weight-grad kernel).
 _S2_STRATEGY = os.environ.get("UNET3D_TPU_S2GRAD", "xla")
 
+# Stride-1 backward strategy (UNET3D_TPU_S1BWD): unset (autodiff of the
+# decomp2d taps — each tap emits its own 2D dgrad/wgrad, so the round-4 trace
+# shows 3 full-volume dgrad writes + 3 per-tap wgrad emitters per conv) or
+# "xla3d" (custom VJP that differentiates the equivalent single XLA 3D conv —
+# one dgrad write, one wgrad emitter; same math, bf16-rounding-level diff).
+# Measured in the full step: xla3d is 286.1 vs 126.0 ms/step — the per-tap 2D
+# backward's 3 extra full-volume writes (each at >=70% of the HBM roofline,
+# tools/roofline_report.py) are still 2.3x cheaper than XLA's native 3D
+# dgrad/wgrad emitters. Kept as a bisect handle only.
+_S1_BWD = os.environ.get("UNET3D_TPU_S1BWD")
+
+
+@jax.custom_vjp
+def _decomp2d_xla3d_bwd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return conv3d_decomp2d(x, w)
+
+
+def _d2x_fwd(x, w):
+    return conv3d_decomp2d(x, w), (x, w)
+
+
+def _d2x_bwd(res, g):
+    x, w = res
+    _, pullback = jax.vjp(
+        lambda xx, ww: conv3d_xla(xx, ww, (1, 1, 1), "SAME"), x, w)
+    return pullback(g)
+
+
+_decomp2d_xla3d_bwd.defvjp(_d2x_fwd, _d2x_bwd)
+
 
 def _s2d_eligible(x_shape, w_shape, stride, same_padding) -> bool:
     return (_S2_STRATEGY == "s2d" and tuple(stride) == (2, 2, 2)
@@ -244,6 +274,8 @@ def conv3d(x: jnp.ndarray, w: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
     eligible = (stride == (1, 1, 1) and same_padding
                 and all(k % 2 == 1 for k in w.shape[:3]) and w.shape[0] > 1)
     if eligible and _ENV_STRATEGY in (None, "decomp2d", "pallas", "winograd"):
+        if _S1_BWD == "xla3d":
+            return _decomp2d_xla3d_bwd(x, w)
         return conv3d_decomp2d(x, w)
     if _s2d_eligible(x.shape, w.shape, stride, same_padding):
         return conv3d_s2_s2d(x, w)
