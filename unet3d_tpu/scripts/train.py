@@ -105,7 +105,12 @@ def run(config_filename, output_dir, namespace):
             config[key] = validate_filenames(config[key],
                                              raise_on_missing=namespace.debug)
 
-    model_filename = os.path.join(work_dir, "model.npz")
+    # "checkpoint_backend": "orbax" opts into async multi-host-sharded
+    # directory checkpoints (train/checkpoint_orbax.py); default stays the
+    # reference-parity single-file model checkpoint
+    ckpt_backend = in_config("checkpoint_backend", config.get("training", {}), "npz")
+    model_filename = os.path.join(
+        work_dir, "model.orbax" if ckpt_backend == "orbax" else "model.npz")
     logging.info("Model: %s", model_filename)
     training_log_filename = os.path.join(work_dir, "training_log.csv")
     logging.info("Log: %s", training_log_filename)

@@ -28,7 +28,12 @@ def _from_flat(flat: Dict[str, np.ndarray]) -> Dict:
 
 
 def save_checkpoint(variables: Dict, filename: str) -> None:
-    """Atomic write of the variable pytree as .npz."""
+    """Atomic write of the variable pytree as .npz (or async orbax when the
+    filename carries the ``.orbax`` directory convention)."""
+    if str(filename).endswith(".orbax"):
+        from unet3d_tpu.train.checkpoint_orbax import save_checkpoint_orbax
+        save_checkpoint_orbax(variables, filename)
+        return
     tmp = filename + ".tmp"
     np.savez(tmp, **_to_flat(variables))
     # np.savez appends .npz to names without an extension
@@ -38,6 +43,10 @@ def save_checkpoint(variables: Dict, filename: str) -> None:
 
 
 def load_checkpoint(filename: str) -> Dict:
+    from unet3d_tpu.train.checkpoint_orbax import is_orbax_path
+    if is_orbax_path(filename):
+        from unet3d_tpu.train.checkpoint_orbax import load_checkpoint_orbax
+        return load_checkpoint_orbax(filename)
     with np.load(filename) as data:
         return _from_flat({k: data[k] for k in data.files})
 

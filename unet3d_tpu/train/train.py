@@ -57,12 +57,22 @@ def write_training_log(rows: List[List[float]], filename: str) -> None:
 
 
 def forced_copy(source: str, target: str) -> None:
+    if str(source).endswith(".orbax"):
+        # orbax checkpoints are directories written asynchronously: the save
+        # must land (tmp-dir finalize/rename) before the copy can see it
+        from unet3d_tpu.train.checkpoint_orbax import wait_for_saves
+        wait_for_saves()
     remove_file(target)
-    shutil.copy(source, target)
+    if os.path.isdir(source):
+        shutil.copytree(source, target)
+    else:
+        shutil.copy(source, target)
 
 
 def remove_file(filename: str) -> None:
-    if os.path.exists(filename):
+    if os.path.isdir(filename):
+        shutil.rmtree(filename)
+    elif os.path.exists(filename):
         os.remove(filename)
 
 
@@ -151,6 +161,15 @@ def _state_variables(state: TrainState) -> dict:
     return variables
 
 
+def _state_variables_device(state: TrainState) -> dict:
+    """Like :func:`_state_variables` but keeps jax.Array leaves on device — the
+    orbax backend snapshots them itself, and on a multi-host mesh a device_get
+    of non-fully-addressable arrays would raise."""
+    variables = {"params": state.params}
+    variables.update(state.extra_variables)
+    return variables
+
+
 def run_training(train_step: Callable, eval_step: Optional[Callable],
                  state: TrainState, n_epochs: int, training_loader,
                  validation_loader, training_log_filename: str, model_filename: str,
@@ -230,7 +249,10 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
             state = set_state_learning_rate(state, scheduler.lr)
 
         # checkpoint family (`train.py:85-103`)
-        save_checkpoint(_state_variables(state), model_filename)
+        if str(model_filename).endswith(".orbax"):
+            save_checkpoint(_state_variables_device(state), model_filename)
+        else:
+            save_checkpoint(_state_variables(state), model_filename)
         if save_optimizer:
             save_opt_state(jax.device_get(state.opt_state), optimizer_filename)
         if save_best and min_epoch == len(training_log) - 1:
@@ -242,6 +264,10 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
                                            % save_every_n_epochs) != 0:
                 remove_file(append_to_filename(model_filename, epoch - save_last_n_models))
             forced_copy(model_filename, append_to_filename(model_filename, epoch))
+    # callers read model_filename right after (post-train inference, tests);
+    # a no-op unless the orbax backend has a save in flight
+    from unet3d_tpu.train.checkpoint_orbax import wait_for_saves
+    wait_for_saves()
     return state
 
 
