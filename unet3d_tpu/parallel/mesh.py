@@ -127,7 +127,7 @@ def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
-                            amp: bool = False) -> Callable:
+                            amp: bool = False, grad_accum: int = 1) -> Callable:
     """Jit the train step with mesh shardings.
 
     Parameters are replicated; the batch is sharded over (data, space). Under
@@ -142,20 +142,22 @@ def make_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
         ndim = labels.ndim
         if ndim not in jitted:
             jitted[ndim] = _sharded_train_jit(model, criterion, tx, mesh,
-                                              amp=amp, label_ndim=ndim)
+                                              amp=amp, label_ndim=ndim,
+                                              grad_accum=grad_accum)
         return jitted[ndim](state, images, labels)
 
     return step
 
 
 def _sharded_train_jit(model, criterion: Callable, tx, mesh: Mesh,
-                       amp: bool, label_ndim: int):
+                       amp: bool, label_ndim: int, grad_accum: int = 1):
     """The jitted sharded train step for one label rank (see
     make_sharded_train_step); activation constraints are live during trace."""
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, batch_spec(mesh))
     y_sharded = NamedSharding(mesh, label_spec(mesh, label_ndim))
-    body = train_step_body(model, criterion, tx, amp=amp)
+    body = train_step_body(model, criterion, tx, amp=amp,
+                           grad_accum=grad_accum)
 
     def traced_body(state, images, labels):
         with activation_sharding(mesh):

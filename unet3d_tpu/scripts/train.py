@@ -135,6 +135,11 @@ def run(config_filename, output_dir, namespace):
     inferer = build_inferer_from_config(config) if "inference" in config else None
 
     amp = bool(in_config("amp", config["training"], False))
+    # framework extension: split each batch into K microbatches inside the
+    # step (f32 grad accumulation, one optimizer update) so large effective
+    # batches train within a single chip's HBM (train/step.py)
+    grad_accum = int(in_config("gradient_accumulation_steps",
+                               config["training"], 1))
     state = create_train_state(variables, tx)
     n_devices = int(in_config("n_gpus", system_config, 1))
     predict_mesh = None
@@ -150,7 +155,8 @@ def run(config_filename, output_dir, namespace):
         n_devices = min(n_devices, len(jax.devices()))
         mesh = make_mesh({"data": n_devices})
         state = replicate_state(state, mesh)
-        sharded_step = make_sharded_train_step(model, criterion, tx, mesh, amp=amp)
+        sharded_step = make_sharded_train_step(model, criterion, tx, mesh,
+                                               amp=amp, grad_accum=grad_accum)
 
         def train_step(s, images, labels):
             return sharded_step(s, shard_batch(jnp.asarray(images), mesh),
@@ -174,7 +180,8 @@ def run(config_filename, output_dir, namespace):
         from unet3d_tpu.data.prefetch import mesh_batch_sharding
         batch_sharding = mesh_batch_sharding(mesh)
     else:
-        train_step = make_train_step(model, criterion, tx, amp=amp)
+        train_step = make_train_step(model, criterion, tx, amp=amp,
+                                     grad_accum=grad_accum)
         eval_step = make_eval_step(model, criterion, inferer=inferer, amp=amp)
 
     # Double-buffered device puts (SURVEY §7 stage 5; ref analog DataLoader

@@ -117,9 +117,18 @@ def compute_criterion(criterion: Callable, output, target: jnp.ndarray) -> jnp.n
 
 
 def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation,
-                    amp: bool = False) -> Callable:
+                    amp: bool = False, grad_accum: int = 1) -> Callable:
     """Un-jitted train-step body, shared by the single-device path (jitted below)
-    and the mesh-sharded path (`parallel/mesh.py`)."""
+    and the mesh-sharded path (`parallel/mesh.py`).
+
+    ``grad_accum`` > 1 (framework extension; config key
+    ``training.gradient_accumulation_steps``) scans the batch in
+    ``grad_accum`` equal microbatches, accumulating gradients in f32 and
+    applying ONE optimizer update — activation memory scales with the
+    microbatch, so effective batches that OOM a 16 GB chip train anyway.
+    Per-microbatch losses/gradients are means over equally-sized slices, so
+    the averaged result matches the full-batch step up to reduction order.
+    """
 
     def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
         rng, dropout_rng, sample_rng = jax.random.split(state.rng, 3)
@@ -129,31 +138,63 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
             y = y.astype(jnp.float32)
         x = x.astype(jnp.bfloat16 if amp else jnp.float32)
 
-        def loss_fn(params):
+        def loss_fn(params, extra_variables, xb, yb, d_rng, s_rng):
             p = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
                 params) if amp else params
-            variables = {"params": p, **state.extra_variables}
-            mutable = list(state.extra_variables.keys())
+            variables = {"params": p, **extra_variables}
+            mutable = list(extra_variables.keys())
             # `train` passed positionally: nn.remat-wrapped models declare it
             # static via static_argnums, which only covers positional args
-            out = model.apply(variables, x, True,
-                              rngs={"dropout": dropout_rng, "sample": sample_rng},
+            out = model.apply(variables, xb, True,
+                              rngs={"dropout": d_rng, "sample": s_rng},
                               mutable=mutable)
             # apply() with a list `mutable` ALWAYS returns (out, updates) —
             # even an empty list — so unpack unconditionally
             out, updates = out
-            new_stats = {**state.extra_variables, **dict(updates)}
+            new_stats = {**extra_variables, **dict(updates)}
             # losses handle mixed precision themselves (losses.py module note):
             # casting the full output volume to f32 here costs ~2.2 ms/step
             import os
             if os.environ.get("UNET3D_TPU_LOSS_F32") == "1":
                 out = jax.tree_util.tree_map(
                     lambda a: a.astype(jnp.float32), out)
-            loss = compute_criterion(criterion, out, y)
+            loss = compute_criterion(criterion, out, yb)
             return loss, new_stats
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum > 1:
+            n = x.shape[0]
+            if n % grad_accum:
+                raise ValueError(f"batch size {n} is not divisible by "
+                                 f"gradient_accumulation_steps={grad_accum}")
+            xs = x.reshape(grad_accum, n // grad_accum, *x.shape[1:])
+            ys = y.reshape(grad_accum, n // grad_accum, *y.shape[1:])
+            d_keys = jax.random.split(dropout_rng, grad_accum)
+            s_keys = jax.random.split(sample_rng, grad_accum)
+
+            def micro(carry, inp):
+                extra, gacc, lacc = carry
+                xb, yb, dk, sk = inp
+                (loss, new_extra), g = grad_fn(state.params, extra, xb, yb,
+                                               dk, sk)
+                gacc = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), gacc, g)
+                return (new_extra, gacc, lacc + loss.astype(jnp.float32)), None
+
+            gacc0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (new_stats, gsum, lsum), _ = jax.lax.scan(
+                micro, (state.extra_variables, gacc0, jnp.float32(0.0)),
+                (xs, ys, d_keys, s_keys))
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / grad_accum).astype(p.dtype), gsum,
+                state.params)
+            loss = lsum / grad_accum
+        else:
+            (loss, new_stats), grads = grad_fn(state.params,
+                                               state.extra_variables, x, y,
+                                               dropout_rng, sample_rng)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=new_params, extra_variables=new_stats,
@@ -165,10 +206,11 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
 
 
 def make_train_step(model, criterion: Callable, tx: optax.GradientTransformation,
-                    amp: bool = False) -> Callable:
+                    amp: bool = False, grad_accum: int = 1) -> Callable:
     """Build the jitted train step. ``amp`` runs the forward/backward in bfloat16
     with fp32 master params (reference AMP flag, `train/train.py:33-37`)."""
-    return jax.jit(train_step_body(model, criterion, tx, amp=amp),
+    return jax.jit(train_step_body(model, criterion, tx, amp=amp,
+                                   grad_accum=grad_accum),
                    donate_argnums=(0,), compiler_options=tpu_compiler_options())
 
 
