@@ -131,10 +131,12 @@ _S2_STRATEGY = os.environ.get("UNET3D_TPU_S2GRAD", "xla")
 # shows 3 full-volume dgrad writes + 3 per-tap wgrad emitters per conv) or
 # "xla3d" (custom VJP that differentiates the equivalent single XLA 3D conv —
 # one dgrad write, one wgrad emitter; same math, bf16-rounding-level diff).
-# Measured in the full step: xla3d is 286.1 vs 126.0 ms/step — the per-tap 2D
-# backward's 3 extra full-volume writes (each at >=70% of the HBM roofline,
-# tools/roofline_report.py) are still 2.3x cheaper than XLA's native 3D
-# dgrad/wgrad emitters. Kept as a bisect handle only.
+# Measured in the full step: xla3d is 285.7-286.1 vs 126.0 ms/step — the
+# per-tap 2D backward's 3 extra full-volume writes (each at >=70% of the HBM
+# roofline, tools/roofline_report.py) are still 2.3x cheaper than XLA's
+# native 3D dgrad/wgrad emitters. (Same number via jax.vjp and
+# jax.linear_transpose backwards: XLA DCEs the vjp's unused primal conv, so
+# the gap is genuinely the 3D emitters.) Kept as a bisect handle only.
 _S1_BWD = os.environ.get("UNET3D_TPU_S1BWD")
 
 
@@ -149,9 +151,13 @@ def _d2x_fwd(x, w):
 
 def _d2x_bwd(res, g):
     x, w = res
-    _, pullback = jax.vjp(
-        lambda xx, ww: conv3d_xla(xx, ww, (1, 1, 1), "SAME"), x, w)
-    return pullback(g)
+    # conv is linear in each operand: linear_transpose builds the dgrad/wgrad
+    # programs WITHOUT re-executing the forward conv (jax.vjp would)
+    dx, = jax.linear_transpose(
+        lambda xx: conv3d_xla(xx, w, (1, 1, 1), "SAME"), x)(g)
+    dw, = jax.linear_transpose(
+        lambda ww: conv3d_xla(x, ww, (1, 1, 1), "SAME"), w)(g)
+    return dx, dw
 
 
 _decomp2d_xla3d_bwd.defvjp(_d2x_fwd, _d2x_bwd)
@@ -182,9 +188,10 @@ def _s2_pallas_fwd(x, w):
 def _s2_pallas_bwd(res, g):
     from unet3d_tpu.ops.pallas.s2_wgrad_kernel import s2_wgrad_pallas
     x, w = res
-    _, pullback = jax.vjp(
-        lambda xx: conv3d_xla(xx, w, (2, 2, 2), _S2_SAME_PADS), x)
-    dx, = pullback(g)
+    # linear_transpose: the dgrad transposed-conv program without re-running
+    # the forward conv (jax.vjp executes the primal to build the pullback)
+    dx, = jax.linear_transpose(
+        lambda xx: conv3d_xla(xx, w, (2, 2, 2), _S2_SAME_PADS), x)(g)
     dw = s2_wgrad_pallas(x, g).astype(w.dtype)
     return dx, dw
 
