@@ -75,7 +75,8 @@ def test_train_cli_orbax_backend(tmp_path):
         "dataset": {"name": "SegmentationDataset", "desired_shape": [8, 8, 8],
                     "labels": [1], "normalization": "zero_mean"},
         "training": {"batch_size": 1, "n_epochs": 2, "save_best": True,
-                     "checkpoint_backend": "orbax", "test_input": 0},
+                     "checkpoint_backend": "orbax", "save_optimizer": True,
+                     "test_input": 0},
         "training_filenames": fns, "validation_filenames": fns,
     }
     cfg_fn = str(tmp_path / "cfg.json")
@@ -87,6 +88,10 @@ def test_train_cli_orbax_backend(tmp_path):
     model_dir = os.path.join(work, "model.orbax")
     assert os.path.isdir(model_dir)
     assert os.path.isdir(os.path.join(work, "model_best.orbax"))
+    # the optimizer state stays in the flat keyed npz format alongside the
+    # orbax model directory (never an npz-in-.orbax-named file)
+    assert os.path.isfile(os.path.join(work, "model_optimizer.npz"))
+    assert not os.path.exists(os.path.join(work, "model_optimizer.orbax"))
     loaded = load_checkpoint(model_dir)
     assert "params" in loaded
     # resume path: a third epoch continues from the orbax checkpoint

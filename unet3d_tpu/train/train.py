@@ -190,6 +190,10 @@ def run_training(train_step: Callable, eval_step: Optional[Callable],
     metric_col = TRAINING_LOG_HEADER.index(metric_to_monitor)
 
     optimizer_filename = append_to_filename(model_filename, "optimizer")
+    if optimizer_filename.endswith(".orbax"):
+        # the optimizer state is always the flat keyed npz (save_opt_state);
+        # only the model checkpoint switches to the orbax directory format
+        optimizer_filename = optimizer_filename[: -len(".orbax")] + ".npz"
     if save_optimizer and start_epoch > 1 and os.path.exists(optimizer_filename):
         # framework extension over the reference (which replays LR schedules but
         # loses Adam moments on resume): restore the optimizer state exactly
