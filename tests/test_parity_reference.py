@@ -41,7 +41,9 @@ def ref():
     """Import the reference model modules from /root/reference."""
     if not hasattr(np, "int"):
         np.int = int  # noqa: NPY001 — the reference uses the removed alias
-    for name in ("monai", "monai.networks", "monai.networks.nets"):
+    # monai gates the package __init__ chain; nibabel gates graph/utils.py
+    # (only its module-level import — the surface loader is never called here)
+    for name in ("monai", "monai.networks", "monai.networks.nets", "nibabel"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
             mod.__all__ = []
@@ -53,9 +55,12 @@ def ref():
     import unet3d.models.pytorch.classification.decoder as ref_dec
     import unet3d.models.pytorch.classification.myronenko as ref_myr
     import unet3d.models.pytorch.classification.resnet as ref_res
+    import unet3d.models.pytorch.fcn.fcn as ref_fcn
+    import unet3d.models.pytorch.graph.graph_cmr_layers as ref_graph
     import unet3d.models.pytorch.segmentation.unet as ref_unet
     return types.SimpleNamespace(var=ref_var, vq=ref_vq, dec=ref_dec,
-                                 myr=ref_myr, res=ref_res, unet=ref_unet)
+                                 myr=ref_myr, res=ref_res, unet=ref_unet,
+                                 fcn=ref_fcn, graph=ref_graph)
 
 
 # ---- weight conversion: flax -> torch ----
@@ -489,3 +494,181 @@ def test_vqvae_decode(ref):
         ref_out = tmod.decode(_nchw(qt), _nchw(qb))
     np.testing.assert_allclose(np.asarray(out), _from_torch(ref_out),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---- FCN (fcn/fcn.py:4-18) ----
+
+def test_fcn(ref):
+    from unet3d_tpu.models.fcn import FCN
+
+    rng = np.random.RandomState(13)
+    model = FCN(hidden_layers_list=(8, 6), n_inputs=5, n_outputs=3)
+    x = jnp.asarray(rng.rand(4, 5), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(13), x)
+    out = model.apply(variables, x)
+
+    tmod = ref.fcn.FCN(hidden_layers_list=[8, 6], n_inputs=5, n_outputs=3).eval()
+    p = variables["params"]
+    linears = [m for m in tmod.network if isinstance(m, torch.nn.Linear)]
+    for t, name in zip(linears, ("hidden0", "hidden1", "out")):
+        t.weight.data = _t(np.asarray(p[name]["kernel"]).T)
+        t.bias.data = _t(p[name]["bias"])
+    with torch.no_grad():
+        ref_out = tmod(torch.tensor(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---- Graph layers (graph/graph_cmr_layers.py) ----
+# The reference multiplies a sparse adjacency through the SparseMM autograd
+# workaround; a DENSE torch adjacency runs the same math, so the transplant
+# pins the dense-MXU redesign (models/graph.py) against the actual source.
+
+def _dense_adjacency(v, seed=5):
+    rng = np.random.RandomState(seed)
+    adj = (rng.rand(v, v) < 0.3).astype(np.float32)
+    adj = np.maximum(adj, adj.T)
+    np.fill_diagonal(adj, 1.0)
+    return adj / adj.sum(axis=1, keepdims=True)
+
+
+def test_graph_linear(ref):
+    from unet3d_tpu.models.graph import GraphLinear
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 6, 10), jnp.float32)  # (B, C, V)
+    model = GraphLinear(out_channels=4)
+    variables = model.init(jax.random.PRNGKey(7), x)
+    out = model.apply(variables, x)
+
+    tmod = ref.graph.GraphLinear(6, 4).eval()
+    tmod.W.data = _t(variables["params"]["W"])
+    tmod.b.data = _t(variables["params"]["b"])
+    with torch.no_grad():
+        ref_out = tmod(torch.tensor(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_graph_convolution(ref):
+    from unet3d_tpu.models.graph import GraphConvolution
+
+    rng = np.random.RandomState(8)
+    v = 10
+    adj = _dense_adjacency(v)
+    x = jnp.asarray(rng.rand(1, v, 6), jnp.float32)  # ours: (B, V, C)
+    model = GraphConvolution(out_features=4)
+    variables = model.init(jax.random.PRNGKey(8), x, jnp.asarray(adj))
+    out = model.apply(variables, x, jnp.asarray(adj))
+
+    wrapper = types.SimpleNamespace(adjacency_matrix=torch.tensor(adj))
+    tmod = ref.graph.GraphConvolution(6, 4, wrapper).eval()
+    tmod.weight.data = _t(variables["params"]["weight"])
+    tmod.bias.data = _t(variables["params"]["bias"])
+    with torch.no_grad():
+        # reference 2D path: (V, C) in, (V, C_out) out
+        ref_out = tmod(torch.tensor(np.asarray(x)[0]))
+    np.testing.assert_allclose(np.asarray(out)[0], ref_out.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_graph_res_block(ref):
+    from unet3d_tpu.models.graph import GraphResBlock
+
+    rng = np.random.RandomState(9)
+    v, cin, cout = 12, 16, 32
+    adj = _dense_adjacency(v)
+    x = jnp.asarray(rng.rand(2, cin, v), jnp.float32)  # (B, C, V)
+    model = GraphResBlock(out_channels=cout)
+    variables = model.init(jax.random.PRNGKey(9), x, jnp.asarray(adj))
+    out = model.apply(variables, x, jnp.asarray(adj))
+
+    wrapper = types.SimpleNamespace(adjacency_matrix=torch.tensor(adj))
+    tmod = ref.graph.GraphResBlock(cin, cout, wrapper).eval()
+    p = variables["params"]
+    for lin, name in ((tmod.lin1, "lin1"), (tmod.lin2, "lin2"),
+                      (tmod.skip_conv, "skip_conv")):
+        lin.W.data = _t(p[name]["W"])
+        lin.b.data = _t(p[name]["b"])
+    tmod.conv.weight.data = _t(p["conv"]["weight"])
+    tmod.conv.bias.data = _t(p["conv"]["bias"])
+    for norm, name in ((tmod.pre_norm, "pre_norm"), (tmod.norm1, "norm1"),
+                       (tmod.norm2, "norm2")):
+        norm.weight.data = _t(p[name]["scale"])
+        norm.bias.data = _t(p[name]["bias"])
+    with torch.no_grad():
+        ref_out = tmod(torch.tensor(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_graph_cmr(ref):
+    """Full GraphCMR net vs the actual reference source (graph_cmr_net.py:17-59):
+    resnet_18 encoder + ref-vertex/feature concat + graph stack + shape head.
+    A dense torch adjacency runs the reference's SparseMM path unmodified."""
+    import unet3d.models.pytorch.graph.graph_cmr_net as ref_net
+
+    from unet3d_tpu.models.graph import GraphCMR
+
+    rng = np.random.RandomState(21)
+    v = 12
+    adj = _dense_adjacency(v)
+    ref_vertices = rng.rand(3, v).astype(np.float32)
+    x = jnp.asarray(rng.rand(1, 16, 16, 16, 2), jnp.float32)
+
+    model = GraphCMR(ref_vertices=ref_vertices, adjacency_matrix=adj,
+                     n_layers=1, n_channels=32, encoder_outputs=16)
+    variables = model.init(jax.random.PRNGKey(21), x)
+    stats = _randomize_batch_stats(variables["batch_stats"], seed=22)
+    out = model.apply({"params": variables["params"], "batch_stats": stats}, x)
+
+    tmod = ref_net.GraphCMR(
+        ref_vertices=torch.tensor(ref_vertices),
+        adjacency_matrix=torch.tensor(adj), n_layers=1, n_channels=32,
+        encoder_outputs=16, n_features=2).eval()
+    p = variables["params"]
+    _load_resnet(tmod.encoder, p["encoder"],
+                 {"encoder": stats["encoder"]}["encoder"])
+
+    def _load_graph_lin(t, q):
+        t.W.data = _t(q["W"])
+        t.b.data = _t(q["b"])
+
+    def _load_graph_block(t, q):
+        for lin, name in ((t.lin1, "lin1"), (t.lin2, "lin2")):
+            _load_graph_lin(lin, q[name])
+        if t.in_channels != t.out_channels:
+            _load_graph_lin(t.skip_conv, q["skip_conv"])
+        t.conv.weight.data = _t(q["conv"]["weight"])
+        t.conv.bias.data = _t(q["conv"]["bias"])
+        for norm, name in ((t.pre_norm, "pre_norm"), (t.norm1, "norm1"),
+                           (t.norm2, "norm2")):
+            norm.weight.data = _t(q[name]["scale"])
+            norm.bias.data = _t(q[name]["bias"])
+
+    _load_graph_lin(tmod.gc[0], p["gc_lin"])
+    _load_graph_block(tmod.gc[1], p["gc_block0"])
+    _load_graph_block(tmod.gc[2], p["gc_block1"])
+    _load_graph_block(tmod.shape[0], p["shape_block0"])
+    _load_graph_block(tmod.shape[1], p["shape_block1"])
+    tmod.shape[2].weight.data = _t(p["shape_norm"]["scale"])
+    tmod.shape[2].bias.data = _t(p["shape_norm"]["bias"])
+    _load_graph_lin(tmod.shape[4], p["shape_out"])
+
+    with torch.no_grad():
+        ref_out = tmod(_nchw(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_reference_regularized_resnet_hits_kernal_size_bug(ref):
+    """`classification/custom.py:8-23` RegularizedResNet defaults route through
+    VariationalAutoEncoder's MyronenkoDecoder path, which passes `kernel_size`
+    into the `kernal_size`-typo signature (`decoder.py:39`): the reference
+    class cannot be constructed without opting into decoder_mirrors_encoder.
+    models/custom.py implements the as-if-fixed MyronenkoDecoder path; its
+    encoder/var-layer/decoder pieces are transplant-pinned individually above."""
+    import unet3d.models.pytorch.classification.custom as ref_custom
+
+    with pytest.raises(TypeError, match="kernal_size|unexpected keyword"):
+        ref_custom.RegularizedResNet(n_outputs=2, input_shape=(16, 16, 16))
