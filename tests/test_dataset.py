@@ -169,3 +169,35 @@ def test_explicit_collate_name(subjects):
     assert batch["image"].shape == (2, 1, 16, 16, 16)  # no-op at 5D
     with pytest.raises(ValueError, match="collate"):
         build_loader(ds, collate="bogus_collate")
+
+
+def test_persistent_cache_v2_layout_and_legacy_fallback(subjects, tmp_path):
+    """v2 entries are raw .npy + .meta.json; v1 .npz entries stay readable."""
+    cache_dir = str(tmp_path / "cache")
+    ds = SegmentationDatasetPersistent(subjects, cache_dir=cache_dir, **_kwargs())
+    item = ds[0]
+    names = sorted(os.listdir(cache_dir))
+    assert any(n.endswith(".meta.json") for n in names)
+    assert any(n.endswith(".image.npy") for n in names)
+    assert any(n.endswith(".label.npy") for n in names)
+    assert not any(".tmp" in n for n in names)  # atomic writes
+
+    # craft a LEGACY v1 entry for subject 1 at its exact cache key and check
+    # it is served (not recomputed into v2 files)
+    key = ds._cache_key(ds.filenames[1])
+    fake = {"image": np.full((1, 16, 16, 16), 7.0, np.float32),
+            "affine": np.eye(4),
+            "label": np.zeros((1, 16, 16, 16), np.float32),
+            "source_filename": np.asarray(ds.filenames[1]["image"], dtype=object)}
+    np.savez(os.path.join(cache_dir, key + ".npz"), **fake)
+    out = ds._deterministic_prefix(ds.filenames[1])
+    np.testing.assert_array_equal(np.asarray(out["image"]), fake["image"])
+
+    # corrupt/partial v2 entry (meta committed but array missing) -> recompute
+    key0 = ds._cache_key(ds.filenames[0])
+    os.remove(os.path.join(cache_dir, key0 + ".image.npy"))
+    out0 = ds._deterministic_prefix(ds.filenames[0])
+    assert out0["image"].shape == np.asarray(item["image"]).shape
+    item_again = ds[0]
+    np.testing.assert_allclose(np.asarray(item_again["image"]),
+                               np.asarray(item["image"]), rtol=0, atol=0)

