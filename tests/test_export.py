@@ -1,0 +1,141 @@
+"""AOT export/serving artifact tests (predict/export.py + scripts/export.py).
+
+Framework extension: the reference has no serving export; these pin the
+contract — single-file StableHLO container, dynamic batch, activation/AMP
+folding, CLI end-to-end — on the CPU backend.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unet3d_tpu.models.registry import create_model, init_params
+from unet3d_tpu.predict.export import (export_forward, load_exported,
+                                       save_exported)
+
+
+def _tiny_model():
+    strides = [[1, 1, 1], [2, 2, 2]]
+    model = create_model("DynUNet", in_channels=2, out_channels=3,
+                         spatial_dims=3, strides=strides,
+                         filters=[4, 8], kernel_size=[[3, 3, 3]] * 2,
+                         upsample_kernel_size=strides[1:],
+                         deep_supervision=False)
+    variables = init_params(model, (8, 8, 8, 2))
+    return model, variables
+
+
+def _reference_forward(model, variables, x, activation=None):
+    import jax.numpy as jnp
+
+    from unet3d_tpu.train.step import from_ndhwc, to_ndhwc
+    out = model.apply(variables, to_ndhwc(jnp.asarray(x)), False)
+    if activation == "sigmoid":
+        import jax
+        out = jax.nn.sigmoid(out)
+    return np.asarray(from_ndhwc(out), np.float32)
+
+
+def test_export_roundtrip_dynamic_batch(tmp_path):
+    model, variables = _tiny_model()
+    exported = export_forward(model, variables, (8, 8, 8, 2))
+    path = str(tmp_path / "model.u3dexp")
+    header = save_exported(exported, path, metadata={"model": {"name": "DynUNet"}})
+    assert header["platforms"] and header["format"] == "unet3d_tpu.export"
+
+    served = load_exported(path)
+    assert served.metadata["model"]["name"] == "DynUNet"
+    rng = np.random.RandomState(0)
+    for batch in (1, 2):  # symbolic batch dim serves any batch size
+        x = rng.rand(batch, 2, 8, 8, 8).astype(np.float32)
+        got = np.asarray(served(x))
+        assert got.shape == (batch, 3, 8, 8, 8)
+        want = _reference_forward(model, variables, x)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_fixed_batch_and_activation(tmp_path):
+    model, variables = _tiny_model()
+    exported = export_forward(model, variables, (8, 8, 8, 2),
+                              activation="sigmoid", batch_size=2)
+    path = str(tmp_path / "model.u3dexp")
+    save_exported(exported, path)
+    served = load_exported(path)
+    x = np.random.RandomState(1).rand(2, 2, 8, 8, 8).astype(np.float32)
+    got = np.asarray(served(x))
+    assert got.min() >= 0.0 and got.max() <= 1.0
+    want = _reference_forward(model, variables, x, activation="sigmoid")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # fixed batch: the wrong batch size must be rejected, not mis-served
+    with pytest.raises(Exception):
+        served(x[:1])
+
+
+def test_export_amp_bf16(tmp_path):
+    model, variables = _tiny_model()
+    exported = export_forward(model, variables, (8, 8, 8, 2), amp=True)
+    path = str(tmp_path / "model.u3dexp")
+    save_exported(exported, path)
+    served = load_exported(path)
+    x = np.random.RandomState(2).rand(1, 2, 8, 8, 8).astype(np.float32)
+    got = np.asarray(served(x))
+    assert got.dtype == np.float32
+    want = _reference_forward(model, variables, x)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)  # bf16 graph
+
+
+def test_export_cross_platform_artifact(tmp_path):
+    """platforms=("cpu","tpu"): one artifact, both targets; runs on CPU here."""
+    model, variables = _tiny_model()
+    exported = export_forward(model, variables, (8, 8, 8, 2),
+                              platforms=("cpu", "tpu"))
+    path = str(tmp_path / "model.u3dexp")
+    header = save_exported(exported, path)
+    assert set(header["platforms"]) == {"cpu", "tpu"}
+    served = load_exported(path)
+    x = np.random.RandomState(3).rand(1, 2, 8, 8, 8).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(served(x)),
+                               _reference_forward(model, variables, x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_load_rejects_non_artifact(tmp_path):
+    path = str(tmp_path / "bogus")
+    with open(path, "wb") as f:
+        f.write(b"not an artifact")
+    with pytest.raises(ValueError, match="bad magic"):
+        load_exported(path)
+
+
+def test_export_cli_end_to_end(tmp_path):
+    from unet3d_tpu.scripts.export import main as export_main
+    from unet3d_tpu.train.checkpoint import save_checkpoint
+
+    model, variables = _tiny_model()
+    ckpt = str(tmp_path / "model.npz")
+    save_checkpoint(variables, ckpt)
+    config = {
+        "model": {"name": "DynUNet", "in_channels": 2, "out_channels": 3,
+                  "spatial_dims": 3, "strides": [[1, 1, 1], [2, 2, 2]],
+                  "filters": [4, 8], "kernel_size": [[3, 3, 3]] * 2,
+                  "upsample_kernel_size": [[2, 2, 2]],
+                  "deep_supervision": False},
+        "loss": {"name": "DiceLoss", "sigmoid": True},
+        "dataset": {"desired_shape": [8, 8, 8]},
+    }
+    cfg = str(tmp_path / "config.json")
+    json.dump(config, open(cfg, "w"))
+    out = str(tmp_path / "model.u3dexp")
+    export_main(["--config_filename", cfg, "--model_filename", ckpt,
+                 "--output_filename", out])
+    assert os.path.exists(out)
+    served = load_exported(out)
+    # activation inferred from the loss section (sigmoid)
+    assert served.metadata["activation"] == "sigmoid"
+    x = np.random.RandomState(4).rand(2, 2, 8, 8, 8).astype(np.float32)
+    got = np.asarray(served(x))
+    assert got.shape == (2, 3, 8, 8, 8)
+    np.testing.assert_allclose(
+        got, _reference_forward(model, variables, x, activation="sigmoid"),
+        rtol=1e-5, atol=1e-5)

@@ -1,0 +1,139 @@
+"""Ahead-of-time model export for serving (framework extension).
+
+Serializes a trained model's inference forward as a self-contained
+StableHLO artifact (`jax.export`) that a serving process can load and run
+WITHOUT the model code, the config, or the checkpoint — only jax and the
+artifact file. The reference has no serving story beyond re-running its
+predict script against the python checkpoint; this gives the TPU rebuild a
+deployable unit:
+
+- one file: versioned container = JSON metadata header + the serialized
+  StableHLO module (in/out layout, activation, platforms recorded in the
+  header);
+- dynamic batch by default (symbolic leading dimension), so a server can
+  batch requests without re-exporting;
+- cross-platform: export once with ``platforms=("cpu", "tpu")`` and the same
+  artifact runs on a CPU canary and the TPU fleet (XLA retargets at load).
+
+The exported signature is the serving boundary: channel-first ``(B, C, D, H,
+W)`` float32 in, ``(B, C', D, H, W)`` float32 out — the host layout every
+loader in this package produces; the NDHWC device transpose happens inside
+the program (free: XLA folds it into the first conv's layout assignment,
+PERF.md round 4). ``amp`` runs the graph in bfloat16 exactly like the predict
+CLI's AMP path.
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+_MAGIC = b"U3DEXP01"
+
+
+def _resolve_activation(name: Optional[str]) -> Optional[Callable]:
+    """Same activation-name contract as the predict CLI
+    (`predict/volumetric.py`): any jnp / jax.nn name, or None."""
+    if not name:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    if hasattr(jax.nn, name):
+        return getattr(jax.nn, name)
+    if hasattr(jnp, name):
+        return getattr(jnp, name)
+    raise ValueError(f"Unknown activation {name!r} (not a jax.nn or jnp name)")
+
+
+def export_forward(model, variables, input_shape: Sequence[int], *,
+                   amp: bool = False, activation: Optional[str] = None,
+                   batch_size: Optional[int] = None,
+                   platforms: Optional[Sequence[str]] = None):
+    """Export the inference forward as a ``jax.export.Exported``.
+
+    ``input_shape`` is spatial+channel ``(D, H, W, C_in)`` (the init_params
+    convention); the exported callable takes channel-first ``(B, C_in, D, H,
+    W)`` float32. ``batch_size=None`` exports a symbolic batch dimension.
+    ``platforms=None`` targets the current default backend.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from unet3d_tpu.train.step import amp_cast, from_ndhwc, to_ndhwc
+
+    d, h, w, c_in = (int(s) for s in input_shape)
+    act = _resolve_activation(activation)
+    base_variables = amp_cast(variables) if amp else variables
+
+    def forward(x):
+        y = to_ndhwc(x).astype(jnp.bfloat16 if amp else jnp.float32)
+        out = model.apply(base_variables, y, False)  # train positional (remat compat)
+        if isinstance(out, tuple):  # VAE-style (out, mu, logvar, ...)
+            out = out[0]
+        if act is not None:
+            out = act(out)
+        return from_ndhwc(out).astype(jnp.float32)
+
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    spec = jax.ShapeDtypeStruct((b, c_in, d, h, w), jnp.float32)
+    kwargs: Dict[str, Any] = {}
+    if platforms is not None:
+        kwargs["platforms"] = [str(p) for p in platforms]
+    return jax_export.export(jax.jit(forward), **kwargs)(spec)
+
+
+def save_exported(exported, path: str,
+                  metadata: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Write the single-file container: magic | u64 header-length | JSON
+    header | serialized StableHLO payload. Returns the header written."""
+    payload = bytes(exported.serialize())
+    header = {"format": "unet3d_tpu.export", "version": 1,
+              "in_avals": [str(a) for a in exported.in_avals],
+              "out_avals": [str(a) for a in exported.out_avals],
+              "platforms": list(exported.platforms),
+              **(metadata or {})}
+    blob = json.dumps(header, sort_keys=True).encode()
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(blob)))
+        f.write(blob)
+        f.write(payload)
+    os.replace(tmp, path)
+    return header
+
+
+class ExportedModel:
+    """A loaded serving artifact: ``__call__`` on numpy/jax arrays."""
+
+    def __init__(self, exported, metadata: Dict[str, Any]):
+        self.exported = exported
+        self.metadata = metadata
+
+    def __call__(self, x) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return self.exported.call(jnp.asarray(x, jnp.float32))
+
+
+def load_exported(path: str) -> ExportedModel:
+    """Load a container written by :func:`save_exported`."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a unet3d_tpu export artifact "
+                             f"(bad magic {magic!r})")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        metadata = json.loads(f.read(hlen).decode())
+        payload = f.read()
+    return ExportedModel(jax_export.deserialize(bytearray(payload)), metadata)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Export a trained model as a self-contained serving artifact.
+
+Framework extension (no reference counterpart — the reference serves by
+re-running its predict script against the python checkpoint). Produces a
+single-file StableHLO container (`predict/export.py`) that a serving process
+loads with ``unet3d_tpu.predict.export.load_exported`` — no model code,
+config, or checkpoint needed at serving time.
+
+    unet3d-export --config_filename cfg.json --model_filename model.npz \
+                  --output_filename model.u3dexp [--platforms cpu,tpu] \
+                  [--activation sigmoid] [--batch_size N] [--amp]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+from unet3d_tpu.config.factory import (build_or_load_model_from_config,
+                                       get_activation_from_config,
+                                       model_input_shape_from_config)
+from unet3d_tpu.predict.export import export_forward, save_exported
+from unet3d_tpu.utils.config import load_json
+
+
+def format_parser(parser=None):
+    if parser is None:
+        parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config_filename", required=True)
+    parser.add_argument("--model_filename", required=True)
+    parser.add_argument("--output_filename", required=True)
+    parser.add_argument("--activation", default=None,
+                        help="Activation folded into the artifact (any jax.nn/"
+                             "jnp name). Default: inferred from the config's "
+                             "loss (sigmoid/softmax), like the segment CLI.")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="Fix the batch dimension; default exports a "
+                             "dynamic (symbolic) batch.")
+    parser.add_argument("--platforms", default=None,
+                        help="Comma-separated lowering targets, e.g. "
+                             "'cpu,tpu'. Default: the current backend only.")
+    parser.add_argument("--amp", action="store_true",
+                        help="Run the exported graph in bfloat16 (f32 in/out).")
+    return parser
+
+
+def parse_args(args=None):
+    return format_parser().parse_args(args)
+
+
+def main(args=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    namespace = parse_args(args)
+    config = load_json(namespace.config_filename)
+    model, variables = build_or_load_model_from_config(
+        config, namespace.model_filename, strict=True)
+    input_shape = model_input_shape_from_config(config)
+    activation = namespace.activation or get_activation_from_config(config)
+    platforms = (namespace.platforms.split(",") if namespace.platforms
+                 else None)
+    logging.info("Exporting %s at input shape %s (activation=%s, amp=%s, "
+                 "platforms=%s)", config["model"].get("name"), input_shape,
+                 activation, namespace.amp, platforms or "current")
+    exported = export_forward(model, variables, input_shape,
+                              amp=namespace.amp, activation=activation,
+                              batch_size=namespace.batch_size,
+                              platforms=platforms)
+    header = save_exported(exported, namespace.output_filename,
+                           metadata={"model": config["model"],
+                                     "activation": activation,
+                                     "amp": bool(namespace.amp)})
+    logging.info("Wrote %s (in=%s out=%s platforms=%s)",
+                 namespace.output_filename, header["in_avals"],
+                 header["out_avals"], header["platforms"])
+
+
+if __name__ == "__main__":
+    main()
