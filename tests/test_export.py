@@ -139,3 +139,66 @@ def test_export_cli_end_to_end(tmp_path):
     np.testing.assert_allclose(
         got, _reference_forward(model, variables, x, activation="sigmoid"),
         rtol=1e-5, atol=1e-5)
+
+
+def test_predict_cli_serves_artifact(tmp_path):
+    """predict --model_filename model.u3dexp serves the exported artifact:
+    no model build, activation folded in (framework extension)."""
+    from unet3d_tpu.data import nifti
+    from unet3d_tpu.scripts.export import main as export_main
+    from unet3d_tpu.scripts.predict import main as predict_main
+    from unet3d_tpu.train.checkpoint import save_checkpoint
+
+    rng = np.random.RandomState(0)
+    test_fns = []
+    for i in range(2):
+        img = rng.rand(8, 8, 8).astype(np.float32)
+        ifn = str(tmp_path / f"img{i}.nii.gz")
+        nifti.save(ifn, img, np.eye(4))
+        test_fns.append({"image": ifn})
+    config = {
+        "model": {"name": "UNet3D", "n_features": 1, "base_width": 2,
+                  "encoder_blocks": [1, 1], "n_outputs": 1},
+        "loss": {"name": "DiceLoss", "sigmoid": True},
+        "dataset": {"name": "SegmentationDataset", "desired_shape": [8, 8, 8],
+                    "labels": [1], "normalization": "zero_mean",
+                    "resample": True},
+        "test_filenames": test_fns,
+    }
+    cfg = str(tmp_path / "config.json")
+    json.dump(config, open(cfg, "w"))
+
+    from unet3d_tpu.models.registry import create_model, init_params
+    model = create_model("UNet3D", n_features=1, base_width=2,
+                         encoder_blocks=[1, 1], n_outputs=1)
+    variables = init_params(model, (8, 8, 8, 1))
+    ckpt = str(tmp_path / "model.npz")
+    save_checkpoint(variables, ckpt)
+    artifact = str(tmp_path / "model.u3dexp")
+    export_main(["--config_filename", cfg, "--model_filename", ckpt,
+                 "--output_filename", artifact])
+
+    out_dir = str(tmp_path / "served")
+    predict_main(["--config_filename", cfg, "--output_directory", out_dir,
+                  "--model_filename", artifact, "--group", "test"])
+    pred_dir = os.path.join(out_dir, "predictions")
+    preds = sorted(os.listdir(pred_dir))
+    assert len(preds) == 2
+    from unet3d_tpu.data.io import load_image
+    served_out = np.asarray(load_image(os.path.join(pred_dir, preds[0])).data)
+    assert served_out.min() >= 0.0 and served_out.max() <= 1.0  # sigmoid folded
+
+    # the same artifact through the checkpoint-based CLI path must agree
+    out_dir2 = str(tmp_path / "direct")
+    predict_main(["--config_filename", cfg, "--output_directory", out_dir2,
+                  "--model_filename", ckpt, "--group", "test",
+                  "--activation", "sigmoid"])
+    direct_out = np.asarray(load_image(
+        os.path.join(out_dir2, "predictions", preds[0])).data)
+    np.testing.assert_allclose(served_out, direct_out, rtol=1e-5, atol=1e-5)
+
+    # conflicting --activation against the folded one is rejected
+    with pytest.raises(ValueError, match="folded into"):
+        predict_main(["--config_filename", cfg, "--output_directory", out_dir,
+                      "--model_filename", artifact, "--group", "test",
+                      "--activation", "softmax"])

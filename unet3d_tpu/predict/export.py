@@ -123,6 +123,18 @@ class ExportedModel:
 
         return self.exported.call(jnp.asarray(x, jnp.float32))
 
+    def ndhwc_forward(self) -> Callable:
+        """Adapter with the `make_forward` calling convention (NDHWC in/out)
+        so the artifact drops into `volumetric_predictions`/inferers. The
+        extra transposes at the artifact boundary are layout assignments XLA
+        folds into the adjacent convs (PERF.md round 4)."""
+        from unet3d_tpu.train.step import from_ndhwc, to_ndhwc
+
+        def forward(x_ndhwc):
+            return to_ndhwc(self.exported.call(from_ndhwc(x_ndhwc)))
+
+        return forward
+
 
 def load_exported(path: str) -> ExportedModel:
     """Load a container written by :func:`save_exported`."""

@@ -121,22 +121,28 @@ def volumetric_predictions(model, state: TrainState, dataloader, prediction_dir:
                            activation: Optional[str] = None, resample: bool = False,
                            interpolation: str = "trilinear",
                            inferer: Optional[Callable] = None,
-                           mesh=None, amp: bool = False) -> List[str]:
+                           mesh=None, amp: bool = False,
+                           forward: Optional[Callable] = None) -> List[str]:
     """Run inference over a loader and write one NIfTI per case.
 
     Parity: `unet3d/predict/volumetric.py:131-177` (forward / inferer, activation,
     per-item resample back to the native grid with meta from the source file).
     ``mesh`` spreads each forward across the device mesh (data/space axes);
     ``amp`` runs forwards in bfloat16 (activations applied in f32).
+
+    ``forward`` overrides the model/state pair with a prebuilt NDHWC callable —
+    the serving path passes an exported StableHLO artifact here
+    (`predict/export.py`); ``model``/``state`` may then be None.
     """
     os.makedirs(prediction_dir, exist_ok=True)
-    if mesh is not None:
-        from unet3d_tpu.parallel.mesh import replicate_state
-        state = replicate_state(state, mesh)
-    # the reference's volumetric path always calls model(x) — its `test`
-    # forward variant belongs to the batch-predict helpers only
-    # (`unet3d/predict/volumetric.py:148-150` vs `predict/utils.py:40-50`)
-    forward = make_forward(model, state, use_test=False, mesh=mesh, amp=amp)
+    if forward is None:
+        if mesh is not None:
+            from unet3d_tpu.parallel.mesh import replicate_state
+            state = replicate_state(state, mesh)
+        # the reference's volumetric path always calls model(x) — its `test`
+        # forward variant belongs to the batch-predict helpers only
+        # (`unet3d/predict/volumetric.py:148-150` vs `predict/utils.py:40-50`)
+        forward = make_forward(model, state, use_test=False, mesh=mesh, amp=amp)
     written: List[str] = []
     for batch in dataloader:
         for key in ("image", "affine", "source_filename"):

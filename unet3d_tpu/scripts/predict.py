@@ -72,13 +72,30 @@ def run_inference(config, output_directory, model_filename, group, activation,
                               num_workers=in_config("n_workers", system_config, 1))
 
     logging.info("Model filename: %s", model_filename)
-    model, variables = build_or_load_model_from_config(config, model_filename,
-                                                       strict=True)
-    state = create_train_state(variables, build_optimizer("Adam"))
+    forward = None
+    model = state = None
+    if str(model_filename).endswith(".u3dexp"):
+        # serving artifact (unet3d-export): a self-contained StableHLO
+        # program — no model build or checkpoint load happens here
+        from unet3d_tpu.predict.export import load_exported
+        served = load_exported(model_filename)
+        folded = served.metadata.get("activation")
+        if folded:
+            if activation and activation != folded:
+                raise ValueError(
+                    f"--activation {activation!r} conflicts with the "
+                    f"{folded!r} activation folded into {model_filename}")
+            logging.info("Activation %r is folded into the artifact", folded)
+            activation = None
+        forward = served.ndhwc_forward()
+    else:
+        model, variables = build_or_load_model_from_config(config, model_filename,
+                                                           strict=True)
+        state = create_train_state(variables, build_optimizer("Adam"))
 
     mesh = None
     n_devices = int(in_config("n_gpus", system_config, 1))
-    if n_devices > 1:
+    if n_devices > 1 and forward is None:  # artifacts run as exported
         # reference threads n_gpus into its predict loop
         # (`unet3d/scripts/predict.py:86`); TPU-native: shard each case's D
         # axis over a space mesh (conv halo exchanges from XLA SPMD)
@@ -94,7 +111,7 @@ def run_inference(config, output_directory, model_filename, group, activation,
                                   prediction_dir=prediction_dir,
                                   activation=activation, interpolation="trilinear",
                                   resample=in_config("resample", config["dataset"], False),
-                                  mesh=mesh, amp=amp)
+                                  mesh=mesh, amp=amp, forward=forward)
 
 
 def main(args=None):
