@@ -202,3 +202,30 @@ def test_predict_cli_serves_artifact(tmp_path):
         predict_main(["--config_filename", cfg, "--output_directory", out_dir,
                       "--model_filename", artifact, "--group", "test",
                       "--activation", "softmax"])
+
+
+def test_export_sharded_mesh_artifact(tmp_path):
+    """mesh export: 8-device artifact (data2 x space4), auto-resharded inputs
+    at serving time, output matches the single-device forward."""
+    import jax
+
+    from unet3d_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    model, variables = _tiny_model()
+    mesh = make_mesh({"data": 2, "space": 4})
+    exported = export_forward(model, variables, (8, 8, 8, 2), mesh=mesh)
+    path = str(tmp_path / "model8.u3dexp")
+    header = save_exported(
+        exported, path,
+        metadata={"mesh": {"axes": list(mesh.axis_names),
+                           "shape": [int(mesh.shape[a])
+                                     for a in mesh.axis_names]}})
+    assert header["nr_devices"] == 8
+    served = load_exported(path)
+    # batch defaults to the data-axis size
+    x = np.random.RandomState(5).rand(2, 2, 8, 8, 8).astype(np.float32)
+    got = np.asarray(served(x))  # plain numpy in: sharded automatically
+    want = _reference_forward(model, variables, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -49,16 +49,34 @@ def _resolve_activation(name: Optional[str]) -> Optional[Callable]:
     raise ValueError(f"Unknown activation {name!r} (not a jax.nn or jnp name)")
 
 
+def _ncdhw_spec(mesh):
+    """PartitionSpec for a channel-first (B, C, D, H, W) serving batch."""
+    from jax.sharding import PartitionSpec as P
+
+    data = "data" if "data" in mesh.axis_names else None
+    space = "space" if "space" in mesh.axis_names else None
+    return P(data, None, space, None, None)
+
+
 def export_forward(model, variables, input_shape: Sequence[int], *,
                    amp: bool = False, activation: Optional[str] = None,
                    batch_size: Optional[int] = None,
-                   platforms: Optional[Sequence[str]] = None):
+                   platforms: Optional[Sequence[str]] = None,
+                   mesh=None):
     """Export the inference forward as a ``jax.export.Exported``.
 
     ``input_shape`` is spatial+channel ``(D, H, W, C_in)`` (the init_params
     convention); the exported callable takes channel-first ``(B, C_in, D, H,
     W)`` float32. ``batch_size=None`` exports a symbolic batch dimension.
     ``platforms=None`` targets the current default backend.
+
+    ``mesh`` exports a MULTI-DEVICE artifact: the batch is sharded over the
+    mesh's ``data`` axis and the volume depth over ``space`` (conv halo
+    exchanges inserted by XLA SPMD, exactly the predict CLI's mesh path) and
+    the serialized module embeds the shardings — the serving process replays
+    it over any same-shape mesh (``ExportedModel`` rebuilds the mesh and
+    shards inputs automatically). Requires a concrete ``batch_size``
+    (default: the mesh's data-axis size) and single-platform lowering.
     """
     import jax
     import jax.numpy as jnp
@@ -79,15 +97,26 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
             out = act(out)
         return from_ndhwc(out).astype(jnp.float32)
 
+    if mesh is not None and batch_size is None:
+        batch_size = int(mesh.shape.get("data", 1))
     if batch_size is None:
         (b,) = jax_export.symbolic_shape("b")
     else:
         b = int(batch_size)
-    spec = jax.ShapeDtypeStruct((b, c_in, d, h, w), jnp.float32)
     kwargs: Dict[str, Any] = {}
     if platforms is not None:
         kwargs["platforms"] = [str(p) for p in platforms]
-    return jax_export.export(jax.jit(forward), **kwargs)(spec)
+    if mesh is None:
+        spec = jax.ShapeDtypeStruct((b, c_in, d, h, w), jnp.float32)
+        return jax_export.export(jax.jit(forward), **kwargs)(spec)
+
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, _ncdhw_spec(mesh))
+    spec = jax.ShapeDtypeStruct((b, c_in, d, h, w), jnp.float32,
+                                sharding=sharding)
+    jitted = jax.jit(forward, in_shardings=(sharding,), out_shardings=sharding)
+    return jax_export.export(jitted, **kwargs)(spec)
 
 
 def save_exported(exported, path: str,
@@ -99,6 +128,7 @@ def save_exported(exported, path: str,
               "in_avals": [str(a) for a in exported.in_avals],
               "out_avals": [str(a) for a in exported.out_avals],
               "platforms": list(exported.platforms),
+              "nr_devices": int(exported.nr_devices),
               **(metadata or {})}
     blob = json.dumps(header, sort_keys=True).encode()
     tmp = f"{path}.tmp{os.getpid()}"
@@ -118,10 +148,34 @@ class ExportedModel:
         self.exported = exported
         self.metadata = metadata
 
+    def _mesh(self):
+        """Rebuild a same-shape mesh over this process's devices for a
+        multi-device artifact (the `mesh` axes/sizes travel in the header)."""
+        import jax
+        from jax.sharding import Mesh
+
+        meta = self.metadata.get("mesh")
+        n = int(self.exported.nr_devices)
+        if meta is None:  # pre-mesh artifact: linear device order
+            axes, shape = ("data",), (n,)
+        else:
+            axes, shape = tuple(meta["axes"]), tuple(meta["shape"])
+        devices = jax.devices()
+        if len(devices) < n:
+            raise RuntimeError(
+                f"Artifact was exported for {n} devices; this process has "
+                f"{len(devices)}")
+        return Mesh(np.asarray(devices[:n]).reshape(shape), axes)
+
     def __call__(self, x) -> np.ndarray:
+        import jax
         import jax.numpy as jnp
 
-        return self.exported.call(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x, jnp.float32)
+        if int(self.exported.nr_devices) > 1:
+            (in_sharding,) = self.exported.in_shardings_jax(self._mesh())
+            x = jax.device_put(x, in_sharding)
+        return self.exported.call(x)
 
     def ndhwc_forward(self) -> Callable:
         """Adapter with the `make_forward` calling convention (NDHWC in/out)
@@ -131,7 +185,7 @@ class ExportedModel:
         from unet3d_tpu.train.step import from_ndhwc, to_ndhwc
 
         def forward(x_ndhwc):
-            return to_ndhwc(self.exported.call(from_ndhwc(x_ndhwc)))
+            return to_ndhwc(self(from_ndhwc(x_ndhwc)))
 
         return forward
 

@@ -41,6 +41,12 @@ def format_parser(parser=None):
                              "'cpu,tpu'. Default: the current backend only.")
     parser.add_argument("--amp", action="store_true",
                         help="Run the exported graph in bfloat16 (f32 in/out).")
+    parser.add_argument("--mesh", default=None,
+                        help="Export a multi-device artifact over a mesh, "
+                             "e.g. 'space=4' (volume depth sharded, the "
+                             "predict CLI's layout) or 'data=2,space=4'. "
+                             "The serving process needs the same device "
+                             "count.")
     return parser
 
 
@@ -59,17 +65,31 @@ def main(args=None):
     activation = namespace.activation or get_activation_from_config(config)
     platforms = (namespace.platforms.split(",") if namespace.platforms
                  else None)
+    mesh = None
+    mesh_meta = None
+    if namespace.mesh:
+        from unet3d_tpu.parallel.mesh import make_mesh
+        axis_sizes = {}
+        for part in namespace.mesh.split(","):
+            name, _, size = part.partition("=")
+            axis_sizes[name.strip()] = int(size)
+        mesh = make_mesh(axis_sizes)
+        mesh_meta = {"axes": list(mesh.axis_names),
+                     "shape": [int(mesh.shape[a]) for a in mesh.axis_names]}
     logging.info("Exporting %s at input shape %s (activation=%s, amp=%s, "
-                 "platforms=%s)", config["model"].get("name"), input_shape,
-                 activation, namespace.amp, platforms or "current")
+                 "platforms=%s, mesh=%s)", config["model"].get("name"),
+                 input_shape, activation, namespace.amp,
+                 platforms or "current", mesh_meta or "single-device")
     exported = export_forward(model, variables, input_shape,
                               amp=namespace.amp, activation=activation,
                               batch_size=namespace.batch_size,
-                              platforms=platforms)
+                              platforms=platforms, mesh=mesh)
+    metadata = {"model": config["model"], "activation": activation,
+                "amp": bool(namespace.amp)}
+    if mesh_meta:
+        metadata["mesh"] = mesh_meta
     header = save_exported(exported, namespace.output_filename,
-                           metadata={"model": config["model"],
-                                     "activation": activation,
-                                     "amp": bool(namespace.amp)})
+                           metadata=metadata)
     logging.info("Wrote %s (in=%s out=%s platforms=%s)",
                  namespace.output_filename, header["in_avals"],
                  header["out_avals"], header["platforms"])
