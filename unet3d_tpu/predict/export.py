@@ -93,9 +93,13 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
         out = model.apply(base_variables, y, False)  # train positional (remat compat)
         if isinstance(out, tuple):  # VAE-style (out, mu, logvar, ...)
             out = out[0]
+        # f32 BEFORE the activation: the predict path applies activations in
+        # f32 after the AMP cast-back (volumetric.py:149); a bf16 sigmoid
+        # here measured 6.5e-3 off the served-vs-direct comparison
+        out = out.astype(jnp.float32)
         if act is not None:
             out = act(out)
-        return from_ndhwc(out).astype(jnp.float32)
+        return from_ndhwc(out)
 
     if mesh is not None and batch_size is None:
         batch_size = int(mesh.shape.get("data", 1))
