@@ -31,7 +31,7 @@ _SLOW_FILES = {
     "test_parity_dints.py", "test_train_golden.py", "test_validation.py",
     "test_parity_zoo.py", "test_pipeline_golden.py",
     "test_parity_reference.py", "test_collectives.py", "test_convergence.py",
-    "test_grad_accum.py",
+    "test_grad_accum.py", "test_export.py",
 }
 
 
