@@ -229,3 +229,58 @@ def test_export_sharded_mesh_artifact(tmp_path):
     got = np.asarray(served(x))  # plain numpy in: sharded automatically
     want = _reference_forward(model, variables, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_http_serving_example(tmp_path):
+    """examples/serving/serve.py: load artifact, serve /predict + /health."""
+    import io
+    import json as json_mod
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "serving"))
+    try:
+        import serve as serve_mod
+    finally:
+        sys.path.pop(0)
+
+    model, variables = _tiny_model()
+    exported = export_forward(model, variables, (8, 8, 8, 2),
+                              activation="sigmoid")
+    artifact = str(tmp_path / "model.u3dexp")
+    save_exported(exported, artifact, metadata={"activation": "sigmoid"})
+
+    server = serve_mod.build_server(artifact, host="127.0.0.1", port=0)
+    host, port = server.server_address
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://{host}:{port}/health") as r:
+            health = json_mod.loads(r.read())
+        assert health["status"] == "ok" and health["activation"] == "sigmoid"
+
+        x = np.random.RandomState(7).rand(2, 2, 8, 8, 8).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(f"http://{host}:{port}/predict",
+                                     buf.getvalue())
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        want = _reference_forward(model, variables, x, activation="sigmoid")
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+        # malformed body -> 400, server stays alive
+        bad = urllib.request.Request(f"http://{host}:{port}/predict",
+                                     b"not npy")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"http://{host}:{port}/health") as r:
+            assert json_mod.loads(r.read())["status"] == "ok"
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
