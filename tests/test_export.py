@@ -284,3 +284,29 @@ def test_http_serving_example(tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_sliding_window_over_artifact(tmp_path):
+    """An ROI-shaped artifact drives the sliding-window inferer (server-side
+    whole-case inference), bit-identical to the in-process forward."""
+    import jax.numpy as jnp
+
+    from unet3d_tpu.predict.sliding_window import SlidingWindowInferer
+    from unet3d_tpu.predict.volumetric import make_forward
+    from unet3d_tpu.train.optim import build_optimizer
+    from unet3d_tpu.train.step import create_train_state
+
+    model, variables = _tiny_model()
+    exported = export_forward(model, variables, (8, 8, 8, 2))
+    path = str(tmp_path / "roi.u3dexp")
+    save_exported(exported, path)
+    served = load_exported(path)
+
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8), overlap=0.5,
+                                   mode="gaussian")
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 12, 12, 12, 2),
+                    jnp.float32)
+    out_served = np.asarray(inferer(x, served.ndhwc_forward()))
+    state = create_train_state(variables, build_optimizer("Adam"))
+    out_direct = np.asarray(inferer(x, make_forward(model, state)))
+    np.testing.assert_array_equal(out_served, out_direct)
