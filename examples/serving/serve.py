@@ -33,7 +33,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def make_handler(served, lock: threading.Lock):
+def make_handler(served, lock: threading.Lock,
+                 max_body_bytes: int = 1 << 30):
     class Handler(BaseHTTPRequestHandler):
         def _respond(self, code: int, body: bytes, ctype: str):
             self.send_response(code)
@@ -55,7 +56,17 @@ def make_handler(served, lock: threading.Lock):
                                      "application/json")
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > max_body_bytes:
+                    body = json.dumps({"error": f"request body {n} bytes "
+                                                f"exceeds limit "
+                                                f"{max_body_bytes}"}).encode()
+                    return self._respond(413, body, "application/json")
                 x = np.load(io.BytesIO(self.rfile.read(n)), allow_pickle=False)
+            except Exception as error:  # malformed body: client's fault
+                body = json.dumps({"error": f"{type(error).__name__}: "
+                                            f"{error}"}).encode()
+                return self._respond(400, body, "application/json")
+            try:
                 # one request at a time on the device; the dispatch queue
                 # would serialize anyway and the lock keeps latency honest
                 with lock:
@@ -63,10 +74,14 @@ def make_handler(served, lock: threading.Lock):
                 buf = io.BytesIO()
                 np.save(buf, out)
                 self._respond(200, buf.getvalue(), "application/octet-stream")
-            except Exception as error:  # malformed body / wrong shape
+            except (ValueError, TypeError) as error:  # wrong shape/dtype
                 body = json.dumps({"error": f"{type(error).__name__}: "
                                             f"{error}"}).encode()
                 self._respond(400, body, "application/json")
+            except Exception as error:  # device/OOM: server's fault, not 400
+                body = json.dumps({"error": f"{type(error).__name__}: "
+                                            f"{error}"}).encode()
+                self._respond(500, body, "application/json")
 
         def log_message(self, fmt, *args):
             logging.info("%s - %s", self.address_string(), fmt % args)
@@ -74,7 +89,8 @@ def make_handler(served, lock: threading.Lock):
     return Handler
 
 
-def build_server(artifact: str, host: str = "127.0.0.1", port: int = 8642):
+def build_server(artifact: str, host: str = "127.0.0.1", port: int = 8642,
+                 max_body_bytes: int = 1 << 30):
     """Load the artifact, warm the compile, return a ready HTTPServer."""
     from unet3d_tpu.predict.export import load_exported
 
@@ -83,7 +99,8 @@ def build_server(artifact: str, host: str = "127.0.0.1", port: int = 8642):
                  served.metadata.get("in_avals"),
                  served.metadata.get("platforms"))
     return ThreadingHTTPServer((host, port),
-                               make_handler(served, threading.Lock()))
+                               make_handler(served, threading.Lock(),
+                                            max_body_bytes=max_body_bytes))
 
 
 def main(args=None):
@@ -92,8 +109,11 @@ def main(args=None):
     parser.add_argument("--artifact", required=True)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8642)
+    parser.add_argument("--max_body_mb", type=int, default=1024,
+                        help="Reject /predict bodies larger than this (413).")
     namespace = parser.parse_args(args)
-    server = build_server(namespace.artifact, namespace.host, namespace.port)
+    server = build_server(namespace.artifact, namespace.host, namespace.port,
+                          max_body_bytes=namespace.max_body_mb << 20)
     logging.info("Serving on %s:%d", *server.server_address)
     server.serve_forever()
 

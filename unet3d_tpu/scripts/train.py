@@ -109,6 +109,15 @@ def run(config_filename, output_dir, namespace):
     # directory checkpoints (train/checkpoint_orbax.py); default stays the
     # reference-parity single-file model checkpoint
     ckpt_backend = in_config("checkpoint_backend", config.get("training", {}), "npz")
+    if ckpt_backend == "orbax":
+        # fail fast: the first save otherwise happens after epoch 1's compute,
+        # aborting a paid-for epoch on a missing optional dependency
+        try:
+            import orbax.checkpoint  # noqa: F401
+        except ImportError as error:
+            raise ImportError(
+                "checkpoint_backend='orbax' requires orbax-checkpoint "
+                "(pip install 'unet3d-tpu[orbax]')") from error
     model_filename = os.path.join(
         work_dir, "model.orbax" if ckpt_backend == "orbax" else "model.npz")
     logging.info("Model: %s", model_filename)
@@ -140,6 +149,24 @@ def run(config_filename, output_dir, namespace):
     # batches train within a single chip's HBM (train/step.py)
     grad_accum = int(in_config("gradient_accumulation_steps",
                                config["training"], 1))
+    if grad_accum > 1:
+        # Averaging per-microbatch losses/grads matches the full-batch step
+        # only for mean-reduced criteria that decompose per sample. batch=True
+        # Dice-family losses reduce intersection/union jointly over the batch
+        # axis, and reduction="sum" scales with microbatch count — both change
+        # the objective under accumulation.
+        if getattr(criterion, "batch", False):
+            raise ValueError(
+                "gradient_accumulation_steps > 1 is incompatible with a "
+                "batch=True criterion: the loss couples samples across the "
+                "batch axis, so microbatched accumulation changes the "
+                "training objective. Set batch=False or disable accumulation.")
+        if getattr(criterion, "reduction", "mean") != "mean":
+            warnings.warn(RuntimeWarning(
+                "gradient_accumulation_steps > 1 with reduction="
+                f"'{criterion.reduction}': accumulated microbatch losses are "
+                "averaged, which only matches the full-batch step for "
+                "reduction='mean'."))
     state = create_train_state(variables, tx)
     n_devices = int(in_config("n_gpus", system_config, 1))
     predict_mesh = None

@@ -47,6 +47,11 @@ def load_checkpoint(filename: str) -> Dict:
     if is_orbax_path(filename):
         from unet3d_tpu.train.checkpoint_orbax import load_checkpoint_orbax
         return load_checkpoint_orbax(filename)
+    if os.path.isdir(filename):
+        raise ValueError(
+            f"{filename!r} is a directory but does not look like an orbax "
+            "checkpoint (no orbax metadata found); expected a .npz "
+            "checkpoint file or an orbax checkpoint directory")
     with np.load(filename) as data:
         return _from_flat({k: data[k] for k in data.files})
 

@@ -48,8 +48,19 @@ def _checkpointer():
 
 
 def is_orbax_path(path: str) -> bool:
-    """Directory checkpoints (or the .orbax naming convention) are orbax."""
-    return str(path).endswith(".orbax") or os.path.isdir(path)
+    """True for the .orbax naming convention, or a directory that actually
+    looks like an orbax checkpoint (StandardCheckpointHandler layout or the
+    _CHECKPOINT_METADATA marker). Probing — instead of treating ANY directory
+    as a checkpoint — keeps ``load_checkpoint`` on a mistaken directory path
+    raising a clear "not a checkpoint" error rather than an orbax internal."""
+    path = str(path)
+    if path.endswith(".orbax"):
+        return True
+    if not os.path.isdir(path):
+        return False
+    return any(os.path.exists(os.path.join(path, marker)) for marker in
+               ("_CHECKPOINT_METADATA", "checkpoint", "_METADATA",
+                "manifest.ocdbt", "d"))
 
 
 def save_checkpoint_orbax(variables: Dict, path: str) -> None:

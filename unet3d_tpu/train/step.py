@@ -127,7 +127,11 @@ def train_step_body(model, criterion: Callable, tx: optax.GradientTransformation
     applying ONE optimizer update — activation memory scales with the
     microbatch, so effective batches that OOM a 16 GB chip train anyway.
     Per-microbatch losses/gradients are means over equally-sized slices, so
-    the averaged result matches the full-batch step up to reduction order.
+    the averaged result matches the full-batch step up to reduction order
+    ONLY for mean-reduced, per-sample-decomposable criteria: batch=True
+    Dice-family losses (joint intersection/union over the batch axis) and
+    reduction="sum" change the objective under accumulation — the train CLI
+    rejects/warns on those combinations (scripts/train.py).
     """
 
     def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray):
