@@ -38,16 +38,29 @@ def add_machine_config_to_parser(parser):
                         help="Number of accelerator devices to use for training. "
                              "Ignored if machine_config_filename is set.")
     parser.add_argument("--pin_memory", action="store_true", default=False)
+    parser.add_argument("--mesh", required=False,
+                        help="Device-mesh layout for multi-device runs, e.g. "
+                             "'data2,space4' (batch data-parallel x D-axis "
+                             "spatial partitioning). Overrides the machine "
+                             "config's 'mesh' key; default is all devices on "
+                             "the data axis. 'space' lets volumes larger than "
+                             "one chip's HBM train/predict across chips.")
 
 
 def get_machine_config(namespace):
-    """Parity: `script_utils.py:41-48`."""
+    """Parity: `script_utils.py:41-48`; framework extension: a ``mesh`` key
+    (``{"data": 2, "space": 4}`` in the machine config JSON, or the ``--mesh``
+    CLI flag, which wins) selects the device-mesh factorization."""
     if getattr(namespace, "machine_config_filename", None):
         print("MP Config: ", namespace.machine_config_filename)
-        return load_json(namespace.machine_config_filename)
-    return {"n_workers": namespace.nthreads,
-            "n_gpus": namespace.ngpus,
-            "pin_memory": namespace.pin_memory}
+        config = load_json(namespace.machine_config_filename)
+    else:
+        config = {"n_workers": namespace.nthreads,
+                  "n_gpus": namespace.ngpus,
+                  "pin_memory": namespace.pin_memory}
+    if getattr(namespace, "mesh", None):
+        config["mesh"] = namespace.mesh
+    return config
 
 
 def check_hierarchy(config):

@@ -156,12 +156,46 @@ def model_input_channels(model, default: int = 1) -> int:
     return default
 
 
+def _reduced_init_shape(input_shape: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Shrink large spatial dims to 32 (keeping /32 divisibility) for init.
+
+    32 stays divisible through the deepest stride ladder any config ships
+    (5 stride-2 boundaries); dims that aren't a multiple of 32 are kept."""
+    spatial, channels = input_shape[:-1], input_shape[-1:]
+    reduced = tuple(32 if (s > 32 and s % 32 == 0) else int(s) for s in spatial)
+    return reduced + tuple(int(c) for c in channels)
+
+
 def init_params(model, input_shape: Tuple[int, ...], seed: int = 0,
                 train: bool = False) -> Dict:
-    """Initialize variables for an NDHWC input of ``input_shape`` (without batch)."""
+    """Initialize variables for an NDHWC input of ``input_shape`` (without batch).
+
+    For spatial-size-independent models (CNNs — the whole config-reachable
+    zoo) the init forward runs at a reduced spatial shape: a 192^3 init
+    forward is pure waste (7 min on the CPU backend, seconds of TPU compile).
+    Safety: ``jax.eval_shape`` (abstract, no FLOPs) proves the full variable
+    tree — every collection, shape and dtype — is identical between the
+    reduced and requested shapes before the cheap init is used; models with
+    spatially-dependent params (ViT position embeddings, VAE dense layers)
+    fall back to the requested shape automatically.
+    """
     rng = jax.random.PRNGKey(seed)
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
             "sample": jax.random.fold_in(rng, 2)}
-    x = jnp.zeros((1,) + tuple(input_shape), dtype=jnp.float32)
+    full = (1,) + tuple(input_shape)
+    reduced = (1,) + _reduced_init_shape(tuple(input_shape))
+    if reduced != full:
+        try:
+            def abstract(shape):
+                x = jax.ShapeDtypeStruct(shape, jnp.float32)
+                tree = jax.eval_shape(lambda r, v: model.init(r, v, train),
+                                      rngs, x)
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                return [(leaf.shape, leaf.dtype) for leaf in leaves], treedef
+            if abstract(reduced) == abstract(full):
+                return model.init(rngs, jnp.zeros(reduced, jnp.float32), train)
+        except Exception:
+            pass  # shapes invalid for this model: init at the requested shape
+    x = jnp.zeros(full, dtype=jnp.float32)
     # `train` positional: remat-wrapped models mark it static by position
     return model.init(rngs, x, train)

@@ -20,6 +20,7 @@ envelope; the mesh builder accepts a ``model`` axis for experiments.
 """
 from __future__ import annotations
 
+import re
 import threading
 from contextlib import contextmanager
 from typing import Callable, Dict, Optional, Sequence
@@ -75,6 +76,49 @@ def constrain_activation(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, activation_spec(mesh, x.shape)))
+
+
+_MESH_AXES = ("data", "space", "model")
+
+
+def parse_mesh_spec(spec) -> Dict[str, int]:
+    """Normalize a user-facing mesh spec into ``{axis: size}``.
+
+    Accepted forms (the machine-config ``"mesh"`` key and the ``--mesh`` CLI
+    flag, doc/Configuration.md):
+
+    * dict:   ``{"data": 2, "space": 4}``
+    * string: ``"data2,space4"`` / ``"data=2,space=4"`` / ``"data:2"``
+
+    Axes must come from ``data`` (batch DP), ``space`` (D-axis spatial
+    partitioning) or ``model`` (experimental channel sharding); sizes must be
+    positive ints. Axis order is preserved — it defines the device-grid
+    layout, so put the fastest-varying (ICI-nearest) axis last.
+    """
+    if isinstance(spec, str):
+        parsed = {}
+        for part in spec.replace(";", ",").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            m = re.fullmatch(r"([a-zA-Z_]+)\s*[:=]?\s*(\d+)", part)
+            if not m:
+                raise ValueError(
+                    f"Unparseable mesh axis {part!r} in mesh spec {spec!r}; "
+                    "expected e.g. 'data2,space4'")
+            parsed[m.group(1)] = int(m.group(2))
+        spec = parsed
+    if not isinstance(spec, dict) or not spec:
+        raise ValueError(f"Mesh spec must be a non-empty dict or string, got {spec!r}")
+    out = {}
+    for axis, size in spec.items():
+        if axis not in _MESH_AXES:
+            raise ValueError(f"Unknown mesh axis {axis!r}; supported: {_MESH_AXES}")
+        size = int(size)
+        if size < 1:
+            raise ValueError(f"Mesh axis {axis!r} needs a positive size, got {size}")
+        out[str(axis)] = size
+    return out
 
 
 def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
@@ -170,15 +214,31 @@ def _sharded_train_jit(model, criterion: Callable, tx, mesh: Mesh,
                    compiler_options=tpu_compiler_options())
 
 
+def lower_sharded_train_step(model, criterion: Callable, tx, mesh: Mesh,
+                             state, images, labels, amp: bool = False,
+                             grad_accum: int = 1):
+    """Lower (trace + SPMD-partition, no execution) the sharded train step.
+
+    ``images``/``labels`` may be concrete arrays or ``jax.ShapeDtypeStruct``s
+    — the latter costs no memory, which is how the train CLI's ``--dry_run``
+    compiles configs too large to execute on the validating host (e.g. the
+    SPPIN 192^3 workload on a CPU simulation). Returns a ``Lowered``; call
+    ``.compile()`` for the executable / ``memory_analysis()``."""
+    jitted = _sharded_train_jit(model, criterion, tx, mesh, amp=amp,
+                                label_ndim=labels.ndim,
+                                grad_accum=grad_accum)
+    return jitted.lower(state, images, labels)
+
+
 def sharded_train_step_hlo(model, criterion: Callable, tx, mesh: Mesh,
                            state, images, labels, amp: bool = False) -> str:
     """Post-SPMD compiled HLO of the sharded train step — the collective
     inventory. Used by tests to assert the communication pattern is the
     intended one (gradient all-reduce + halo collective-permutes, no
     full-activation all-gathers); see PERF.md "Mesh collective inventory"."""
-    jitted = _sharded_train_jit(model, criterion, tx, mesh, amp=amp,
-                                label_ndim=labels.ndim)
-    return jitted.lower(state, images, labels).compile().as_text()
+    return lower_sharded_train_step(model, criterion, tx, mesh, state,
+                                    images, labels,
+                                    amp=amp).compile().as_text()
 
 
 def make_sharded_eval_step(model, criterion: Callable, mesh: Mesh,

@@ -49,12 +49,15 @@ def _resolve_activation(name: Optional[str]) -> Optional[Callable]:
     raise ValueError(f"Unknown activation {name!r} (not a jax.nn or jnp name)")
 
 
-def _ncdhw_spec(mesh):
-    """PartitionSpec for a channel-first (B, C, D, H, W) serving batch."""
+def _entry_spec(mesh, entry_layout: str):
+    """PartitionSpec for the serving batch in the artifact's entry layout:
+    channel-first (B, C, D, H, W) or device-native (B, D, H, W, C)."""
     from jax.sharding import PartitionSpec as P
 
     data = "data" if "data" in mesh.axis_names else None
     space = "space" if "space" in mesh.axis_names else None
+    if entry_layout == "ndhwc":
+        return P(data, space, None, None, None)
     return P(data, None, space, None, None)
 
 
@@ -62,13 +65,18 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
                    amp: bool = False, activation: Optional[str] = None,
                    batch_size: Optional[int] = None,
                    platforms: Optional[Sequence[str]] = None,
-                   mesh=None):
+                   mesh=None, entry_layout: str = "ncdhw"):
     """Export the inference forward as a ``jax.export.Exported``.
 
     ``input_shape`` is spatial+channel ``(D, H, W, C_in)`` (the init_params
     convention); the exported callable takes channel-first ``(B, C_in, D, H,
     W)`` float32. ``batch_size=None`` exports a symbolic batch dimension.
     ``platforms=None`` targets the current default backend.
+
+    ``entry_layout="ndhwc"`` exports a device-native-layout boundary instead:
+    ``(B, D, H, W, C)`` in and out, no transposes inside the program — for
+    serving pipelines that already hold channel-last tensors (VERDICT r4
+    item 4: bisecting the exported calling convention's layout tax).
 
     ``mesh`` exports a MULTI-DEVICE artifact: the batch is sharded over the
     mesh's ``data`` axis and the volume depth over ``space`` (conv halo
@@ -85,11 +93,15 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
     from unet3d_tpu.train.step import amp_cast, from_ndhwc, to_ndhwc
 
     d, h, w, c_in = (int(s) for s in input_shape)
+    if entry_layout not in ("ncdhw", "ndhwc"):
+        raise ValueError(f"entry_layout must be 'ncdhw' or 'ndhwc', "
+                         f"got {entry_layout!r}")
     act = _resolve_activation(activation)
     base_variables = amp_cast(variables) if amp else variables
 
     def forward(x):
-        y = to_ndhwc(x).astype(jnp.bfloat16 if amp else jnp.float32)
+        y = x if entry_layout == "ndhwc" else to_ndhwc(x)
+        y = y.astype(jnp.bfloat16 if amp else jnp.float32)
         out = model.apply(base_variables, y, False)  # train positional (remat compat)
         if isinstance(out, tuple):  # VAE-style (out, mu, logvar, ...)
             out = out[0]
@@ -99,7 +111,7 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
         out = out.astype(jnp.float32)
         if act is not None:
             out = act(out)
-        return from_ndhwc(out)
+        return out if entry_layout == "ndhwc" else from_ndhwc(out)
 
     if mesh is not None and batch_size is None:
         batch_size = int(mesh.shape.get("data", 1))
@@ -110,15 +122,16 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
     kwargs: Dict[str, Any] = {}
     if platforms is not None:
         kwargs["platforms"] = [str(p) for p in platforms]
+    in_shape = ((b, d, h, w, c_in) if entry_layout == "ndhwc"
+                else (b, c_in, d, h, w))
     if mesh is None:
-        spec = jax.ShapeDtypeStruct((b, c_in, d, h, w), jnp.float32)
+        spec = jax.ShapeDtypeStruct(in_shape, jnp.float32)
         return jax_export.export(jax.jit(forward), **kwargs)(spec)
 
     from jax.sharding import NamedSharding
 
-    sharding = NamedSharding(mesh, _ncdhw_spec(mesh))
-    spec = jax.ShapeDtypeStruct((b, c_in, d, h, w), jnp.float32,
-                                sharding=sharding)
+    sharding = NamedSharding(mesh, _entry_spec(mesh, entry_layout))
+    spec = jax.ShapeDtypeStruct(in_shape, jnp.float32, sharding=sharding)
     jitted = jax.jit(forward, in_shardings=(sharding,), out_shardings=sharding)
     return jax_export.export(jitted, **kwargs)(spec)
 
@@ -183,9 +196,15 @@ class ExportedModel:
 
     def ndhwc_forward(self) -> Callable:
         """Adapter with the `make_forward` calling convention (NDHWC in/out)
-        so the artifact drops into `volumetric_predictions`/inferers. The
-        extra transposes at the artifact boundary are layout assignments XLA
-        folds into the adjacent convs (PERF.md round 4)."""
+        so the artifact drops into `volumetric_predictions`/inferers.
+
+        NDHWC-entry artifacts (``entry_layout: "ndhwc"`` in the header) are
+        already in this convention — returned as-is, zero boundary
+        transposes. For channel-first artifacts the extra transposes at the
+        boundary are layout assignments XLA folds into the adjacent convs
+        (PERF.md round 4)."""
+        if self.metadata.get("entry_layout") == "ndhwc":
+            return self
         from unet3d_tpu.train.step import from_ndhwc, to_ndhwc
 
         def forward(x_ndhwc):

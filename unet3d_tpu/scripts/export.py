@@ -47,6 +47,14 @@ def format_parser(parser=None):
                              "predict CLI's layout) or 'data=2,space=4'. "
                              "The serving process needs the same device "
                              "count.")
+    parser.add_argument("--entry_layout", default="ncdhw",
+                        choices=("ncdhw", "ndhwc"),
+                        help="Artifact boundary layout: 'ncdhw' (channel-"
+                             "first, the package's host convention; default) "
+                             "or 'ndhwc' (device-native channel-last — no "
+                             "transposes inside the program, for serving "
+                             "pipelines that already hold channel-last "
+                             "tensors).")
     return parser
 
 
@@ -68,24 +76,24 @@ def main(args=None):
     mesh = None
     mesh_meta = None
     if namespace.mesh:
-        from unet3d_tpu.parallel.mesh import make_mesh
-        axis_sizes = {}
-        for part in namespace.mesh.split(","):
-            name, _, size = part.partition("=")
-            axis_sizes[name.strip()] = int(size)
-        mesh = make_mesh(axis_sizes)
+        from unet3d_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+        mesh = make_mesh(parse_mesh_spec(namespace.mesh))
         mesh_meta = {"axes": list(mesh.axis_names),
                      "shape": [int(mesh.shape[a]) for a in mesh.axis_names]}
     logging.info("Exporting %s at input shape %s (activation=%s, amp=%s, "
-                 "platforms=%s, mesh=%s)", config["model"].get("name"),
+                 "platforms=%s, mesh=%s, entry_layout=%s)",
+                 config["model"].get("name"),
                  input_shape, activation, namespace.amp,
-                 platforms or "current", mesh_meta or "single-device")
+                 platforms or "current", mesh_meta or "single-device",
+                 namespace.entry_layout)
     exported = export_forward(model, variables, input_shape,
                               amp=namespace.amp, activation=activation,
                               batch_size=namespace.batch_size,
-                              platforms=platforms, mesh=mesh)
+                              platforms=platforms, mesh=mesh,
+                              entry_layout=namespace.entry_layout)
     metadata = {"model": config["model"], "activation": activation,
-                "amp": bool(namespace.amp)}
+                "amp": bool(namespace.amp),
+                "entry_layout": namespace.entry_layout}
     if mesh_meta:
         metadata["mesh"] = mesh_meta
     header = save_exported(exported, namespace.output_filename,

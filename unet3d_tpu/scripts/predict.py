@@ -95,13 +95,25 @@ def run_inference(config, output_directory, model_filename, group, activation,
 
     mesh = None
     n_devices = int(in_config("n_gpus", system_config, 1))
+    mesh_spec = in_config("mesh", system_config, None)
+    if mesh_spec is not None:
+        from unet3d_tpu.parallel.mesh import parse_mesh_spec
+        mesh_spec = parse_mesh_spec(mesh_spec)
+        n_mesh = 1
+        for size in mesh_spec.values():
+            n_mesh *= size
+        n_devices = max(n_devices, n_mesh)
     if n_devices > 1 and forward is None:  # artifacts run as exported
         # reference threads n_gpus into its predict loop
         # (`unet3d/scripts/predict.py:86`); TPU-native: shard each case's D
-        # axis over a space mesh (conv halo exchanges from XLA SPMD)
+        # axis over a space mesh (conv halo exchanges from XLA SPMD). An
+        # explicit pure-data mesh spec keeps the user's batch-DP layout.
         import jax
         from unet3d_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh({"space": min(n_devices, len(jax.devices()))})
+        if mesh_spec is not None and "space" not in mesh_spec:
+            mesh = make_mesh(mesh_spec)
+        else:
+            mesh = make_mesh({"space": min(n_devices, len(jax.devices()))})
 
     prediction_dir = os.path.join(work_dir, "predictions")
     os.makedirs(prediction_dir, exist_ok=True)

@@ -52,10 +52,89 @@ def parse_args(args=None):
                         help="Raises an error if a training file is not found; "
                              "default silently skips missing files.")
     add_machine_config_to_parser(parser)
+    parser.add_argument("--dry_run", action="store_true", default=False,
+                        help="Validate the config without training: load one "
+                             "batch through the real data pipeline, compile "
+                             "the (mesh-sharded) train step at the config's "
+                             "true shapes, write a compile report with the "
+                             "per-device memory analysis to the work dir "
+                             "(compile_report.json), and exit. Catches shape/"
+                             "mesh/HBM problems before burning accelerator "
+                             "time.")
     parser.add_argument("--n_examples", type=int, default=1,
                         help="Number of example input/output pairs to write to "
                              "file for debugging purposes. (default = 1)")
     return parser.parse_args(args)
+
+
+def dry_run_compile(work_dir, training_loader, mesh, state, *, model,
+                    criterion, tx, amp, grad_accum, train_step=None):
+    """``--dry_run``: compile the train step at the config's true shapes —
+    no execution, no training.
+
+    Loads ONE batch through the real data pipeline (validating file IO,
+    shapes and dtypes end-to-end), then lowers the step with
+    ``ShapeDtypeStruct``s in place of the batch — nothing is transferred and
+    the step never runs, so configs far larger than the validating host's
+    memory (e.g. the SPPIN 192^3 workload on a CPU-simulated mesh,
+    doc/Configuration.md) still compile. Writes ``compile_report.json`` with
+    the backend's per-device memory analysis: on a TPU backend those numbers
+    are the per-chip HBM footprint; on a CPU simulation they estimate it
+    (layouts/fusions differ across backends).
+    """
+    import json
+
+    import jax
+
+    batch = next(iter(training_loader))
+    images, labels = batch["image"], batch["label"]
+    img_sds = jax.ShapeDtypeStruct(tuple(images.shape), images.dtype)
+    lbl_sds = jax.ShapeDtypeStruct(tuple(labels.shape), labels.dtype)
+    if mesh is not None:
+        from unet3d_tpu.parallel.mesh import lower_sharded_train_step
+        lowered = lower_sharded_train_step(model, criterion, tx, mesh, state,
+                                           img_sds, lbl_sds, amp=amp,
+                                           grad_accum=grad_accum)
+    else:
+        lowered = train_step.lower(state, img_sds, lbl_sds)
+    compiled = lowered.compile()
+    report = {
+        "backend": jax.default_backend(),
+        "mesh": ({a: int(mesh.shape[a]) for a in mesh.axis_names}
+                 if mesh is not None else None),
+        "images": [[int(s) for s in images.shape], str(images.dtype)],
+        "labels": [[int(s) for s in labels.shape], str(labels.dtype)],
+        "amp": bool(amp),
+        "gradient_accumulation_steps": int(grad_accum),
+    }
+    try:
+        mem = compiled.memory_analysis()
+        report["per_device_bytes"] = {
+            "arguments": int(mem.argument_size_in_bytes),
+            "outputs": int(mem.output_size_in_bytes),
+            "temp": int(mem.temp_size_in_bytes),
+            "aliased": int(mem.alias_size_in_bytes),
+            "generated_code": int(mem.generated_code_size_in_bytes),
+        }
+        peak = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+                + mem.temp_size_in_bytes - mem.alias_size_in_bytes)
+        report["per_device_peak_gib"] = round(peak / 2 ** 30, 3)
+    except Exception as error:  # pragma: no cover - backend without stats
+        report["memory_analysis_error"] = repr(error)
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else None
+        if cost and "flops" in cost:
+            report["flops_per_step_per_device"] = float(cost["flops"])
+    except Exception:  # pragma: no cover - cost analysis is best-effort
+        pass
+    path = os.path.join(work_dir, "compile_report.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    logging.info("Dry run: train step compiled OK -> %s", path)
+    logging.info("Compile report: %s", json.dumps(report))
+    return report
 
 
 def run(config_filename, output_dir, namespace):
@@ -169,18 +248,47 @@ def run(config_filename, output_dir, namespace):
                 "reduction='mean'."))
     state = create_train_state(variables, tx)
     n_devices = int(in_config("n_gpus", system_config, 1))
+    # "mesh": {"data": 2, "space": 4} in the machine config (or --mesh
+    # data2,space4) selects the device-grid factorization; the default is all
+    # devices on the data axis. The space axis spatially partitions each
+    # volume's D axis (XLA SPMD inserts the conv halo exchanges) — how
+    # volumes larger than one chip's HBM (e.g. the SPPIN 192^3 config, which
+    # OOMs a 16 GB chip even with remat — PERF.md) train through this CLI.
+    mesh_spec = in_config("mesh", system_config, None)
+    if mesh_spec is not None:
+        from unet3d_tpu.parallel.mesh import parse_mesh_spec
+        mesh_spec = parse_mesh_spec(mesh_spec)
+        n_mesh = 1
+        for size in mesh_spec.values():
+            n_mesh *= size
+        n_devices = max(n_devices, n_mesh)
     predict_mesh = None
+    train_mesh = None
     batch_sharding = None  # set on the mesh path; used by the device prefetcher
     if n_devices > 1:
         # The reference wraps in DataParallel here (`unet3d/models/build.py:18-20`);
-        # TPU-native: batch sharded over a data-axis mesh, XLA all-reduces grads.
+        # TPU-native: batch sharded over a (data, space) mesh, XLA inserts the
+        # gradient all-reduces and conv halo exchanges.
         import jax
         import jax.numpy as jnp
         from unet3d_tpu.parallel.mesh import (make_mesh, make_sharded_eval_step,
                                               make_sharded_train_step,
                                               replicate_state, shard_batch)
         n_devices = min(n_devices, len(jax.devices()))
-        mesh = make_mesh({"data": n_devices})
+        explicit_data_only = mesh_spec is not None and "space" not in mesh_spec
+        if mesh_spec is None:
+            mesh_spec = {"data": n_devices}
+        mesh = make_mesh(mesh_spec)
+        train_mesh = mesh
+        data_axis = mesh.shape.get("data", 1)
+        space_axis = mesh.shape.get("space", 1)
+        batch_size = int(config["training"]["batch_size"])
+        if batch_size % data_axis:
+            raise ValueError(
+                f"batch_size={batch_size} is not divisible by the mesh's "
+                f"data axis ({data_axis}); pick a mesh whose data axis "
+                f"divides the batch (e.g. --mesh data{batch_size},"
+                f"space{n_devices // max(batch_size, 1)})")
         state = replicate_state(state, mesh)
         sharded_step = make_sharded_train_step(model, criterion, tx, mesh,
                                                amp=amp, grad_accum=grad_accum)
@@ -196,20 +304,32 @@ def run(config_filename, output_dir, namespace):
         def eval_step(s, images, labels):
             # ragged last batch: NamedSharding needs divisibility — run it
             # unsharded (state shardings are compatible with the plain jit)
-            if images.shape[0] % n_devices == 0:
+            if (images.shape[0] % data_axis == 0
+                    and images.shape[2] % space_axis == 0):
                 return sharded_eval(s, shard_batch(jnp.asarray(images), mesh),
                                     shard_batch(jnp.asarray(labels), mesh))
             return plain_eval(s, images, labels)
 
-        # whole-case prediction spreads each volume's D axis across devices
-        # (context-parallel analog); batch stays 1 per case
-        predict_mesh = make_mesh({"space": n_devices})
+        # whole-case prediction runs batch 1 per case, so the data axis is
+        # idle there: re-lay the same devices out on the space axis (D-axis
+        # partitioning, the context-parallel analog) — unless the user asked
+        # for a pure-data mesh explicitly, in which case batch-sharded
+        # prediction keeps their layout (ragged batches fall back unsharded)
+        predict_mesh = mesh if explicit_data_only else \
+            make_mesh({"space": n_devices})
         from unet3d_tpu.data.prefetch import mesh_batch_sharding
         batch_sharding = mesh_batch_sharding(mesh)
     else:
         train_step = make_train_step(model, criterion, tx, amp=amp,
                                      grad_accum=grad_accum)
         eval_step = make_eval_step(model, criterion, inferer=inferer, amp=amp)
+
+    if namespace.dry_run:
+        dry_run_compile(work_dir, training_loader, train_mesh, state,
+                        model=model, criterion=criterion, tx=tx, amp=amp,
+                        grad_accum=grad_accum,
+                        train_step=None if train_mesh is not None else train_step)
+        return
 
     # Double-buffered device puts (SURVEY §7 stage 5; ref analog DataLoader
     # pin_memory/prefetch_factor, `scripts/script_utils.py:124-129`): batch
