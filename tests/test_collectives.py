@@ -43,8 +43,7 @@ def _count(hlo: str, op: str) -> int:
     return len(re.findall(rf"\s{op}\(", hlo))
 
 
-@pytest.fixture(scope="module")
-def hlo():
+def _build_sharded_step_hlo(size: int) -> str:
     mesh = make_mesh({"data": 2, "space": 4})
     strides = [[1, 1, 1]] + [[2, 2, 2]] * 3
     model = create_model(
@@ -52,15 +51,21 @@ def hlo():
         strides=strides, filters=[4, 8, 8, 16],
         kernel_size=[[3, 3, 3]] * 4,
         upsample_kernel_size=[[2, 2, 2]] * 3, deep_supervision=False)
-    variables = init_params(model, (16, 16, 16, 2))
+    variables = init_params(model, (size, size, size, 2))
     tx = build_optimizer("Adam", lr=1e-3)
     state = replicate_state(create_train_state(variables, tx), mesh)
     rng = np.random.RandomState(0)
-    images = shard_batch(jnp.asarray(rng.rand(2, 2, 16, 16, 16), jnp.float32), mesh)
-    labels = shard_batch(jnp.asarray(rng.rand(2, 3, 16, 16, 16) > 0.5,
+    images = shard_batch(jnp.asarray(rng.rand(2, 2, size, size, size),
+                                     jnp.float32), mesh)
+    labels = shard_batch(jnp.asarray(rng.rand(2, 3, size, size, size) > 0.5,
                                      jnp.float32), mesh)
     return sharded_train_step_hlo(model, DiceLoss(sigmoid=True), tx, mesh,
                                   state, images, labels, amp=True)
+
+
+@pytest.fixture(scope="module")
+def hlo():
+    return _build_sharded_step_hlo(16)
 
 
 def test_inventory(hlo):
@@ -92,6 +97,51 @@ def test_no_full_activation_allgather(hlo):
     big = [s for s in _hlo_op_shapes(hlo, "all-gather")
            if s >= full_activation_bytes]
     assert big == [], f"full-activation all-gathers found: {big}"
+
+
+def test_gradient_allreduce_bytes_cover_params(hlo):
+    """The combined gradient all-reduce must move (at least) the full f32
+    parameter tree — an undercount means grad sync is silently missing from
+    the byte model feeding the PERF.md scaling predictions (VERDICT r4
+    item 2; the tools/collective_bytes.py parser originally dropped the
+    108-operand tuple all-reduce on XLA's /*index=N*/ comments)."""
+    import jax
+    from unet3d_tpu.models.registry import create_model, init_params
+    from unet3d_tpu.parallel.hlo_stats import collective_byte_stats
+    strides = [[1, 1, 1]] + [[2, 2, 2]] * 3
+    model = create_model(
+        "DynUNet", in_channels=2, out_channels=3, spatial_dims=3,
+        strides=strides, filters=[4, 8, 8, 16],
+        kernel_size=[[3, 3, 3]] * 4,
+        upsample_kernel_size=[[2, 2, 2]] * 3, deep_supervision=False)
+    variables = init_params(model, (16, 16, 16, 2))
+    param_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                      for a in jax.tree_util.tree_leaves(variables["params"]))
+    stats = collective_byte_stats(hlo)
+    ar = stats.get("all-reduce", {"bytes": 0})["bytes"]
+    assert ar >= param_bytes, (ar, param_bytes)
+    # ...and not wildly more: grad sync + per-space norm-stat reductions +
+    # loss scalars; 3x params is far below any activation-replication blowup
+    assert ar <= 3 * param_bytes + (1 << 20), (ar, param_bytes)
+
+
+def test_halo_traffic_is_surface_not_volume(hlo):
+    """Conv-halo traffic must scale with the shard SURFACE, not its VOLUME
+    (VERDICT r4 item 2). Per-instruction size bounds are fragile — XLA's
+    collective-permute combiner batches several slabs into one instruction —
+    so the robust form is a scaling law: doubling the spatial size grows the
+    volume 8x but boundary slabs only 4x. A sharding that degraded to shard
+    replication (or thickness-proportional exchange) would track the volume.
+    """
+    from unet3d_tpu.parallel.hlo_stats import collective_byte_stats
+    small = collective_byte_stats(hlo)["collective-permute"]
+    big = collective_byte_stats(
+        _build_sharded_step_hlo(32))["collective-permute"]
+    assert small["bytes"] > 0 and big["bytes"] > 0
+    growth = big["bytes"] / small["bytes"]
+    # surface scaling is 4x; allow slack for size-dependent fusion choices,
+    # but stay well under the 8x volume signature
+    assert growth <= 6.0, f"halo bytes grew {growth:.2f}x for 8x volume"
 
 
 def test_no_involuntary_remat_allreduce_storm(hlo):

@@ -230,9 +230,13 @@ def test_predict_cli_serves_artifact(tmp_path):
                       "--activation", "softmax"])
 
 
-def test_export_sharded_mesh_artifact(tmp_path):
-    """mesh export: 8-device artifact (data2 x space4), auto-resharded inputs
-    at serving time, output matches the single-device forward."""
+@pytest.mark.parametrize("mesh_spec", [{"data": 2, "space": 4},
+                                       {"data": 4, "space": 2}])
+def test_export_sharded_mesh_artifact(tmp_path, mesh_spec):
+    """mesh export: 8-device artifact, auto-resharded inputs at serving time,
+    output matches the single-device forward. Two factorizations exercise the
+    mesh rebuild on load (predict/export.py) beyond the single shape the
+    artifact was first developed against (VERDICT r4 item 6)."""
     import jax
 
     from unet3d_tpu.parallel.mesh import make_mesh
@@ -240,7 +244,7 @@ def test_export_sharded_mesh_artifact(tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
     model, variables = _tiny_model()
-    mesh = make_mesh({"data": 2, "space": 4})
+    mesh = make_mesh(mesh_spec)
     exported = export_forward(model, variables, (8, 8, 8, 2), mesh=mesh)
     path = str(tmp_path / "model8.u3dexp")
     header = save_exported(
@@ -251,7 +255,8 @@ def test_export_sharded_mesh_artifact(tmp_path):
     assert header["nr_devices"] == 8
     served = load_exported(path)
     # batch defaults to the data-axis size
-    x = np.random.RandomState(5).rand(2, 2, 8, 8, 8).astype(np.float32)
+    bs = mesh_spec.get("data", 1)
+    x = np.random.RandomState(5).rand(bs, 2, 8, 8, 8).astype(np.float32)
     got = np.asarray(served(x))  # plain numpy in: sharded automatically
     want = _reference_forward(model, variables, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -29,7 +29,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -37,53 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EFFECTIVE_ICI_GBPS = 45.0   # per-direction effective, v5e (band: 25-90)
 SINGLE_CHIP_STEP_MS = 121.7  # measured, BENCH_r04 / PERF.md round 4
 
-_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
-                "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8}
-
-# output-shape definitions: `%name = TYPE[dims]{layout} op-name(...)`;
-# tuple-shaped outputs: `%name = (TYPE[..], TYPE[..]) op-name(...)`
-_DEF_RE = re.compile(
-    r"=\s*(\(?[^=]*?\)?)\s+(all-reduce|reduce-scatter|all-gather|"
-    r"collective-permute|all-to-all)\(", )
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
-
-
-def shape_bytes(text: str) -> int:
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(text):
-        if dtype not in _DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
-
-
-def collective_bytes(hlo: str):
-    """{op: {"count": n, "bytes": total_output_bytes}} per collective op."""
-    out = {}
-    for m in _DEF_RE.finditer(hlo):
-        shapes, op = m.group(1), m.group(2)
-        entry = out.setdefault(op, {"count": 0, "bytes": 0})
-        entry["count"] += 1
-        entry["bytes"] += shape_bytes(shapes)
-    return out
-
-
-def wire_bytes_per_chip(stats: dict, n_chips: int) -> float:
-    """Per-chip wire traffic under the ring/torus algorithm model."""
-    ratio = (n_chips - 1) / n_chips
-    total = 0.0
-    for op, e in stats.items():
-        if op == "all-reduce":
-            total += 2 * ratio * e["bytes"]
-        elif op in ("reduce-scatter", "all-gather"):
-            total += ratio * e["bytes"]
-        else:  # collective-permute / all-to-all: one hop for the full buffer
-            total += e["bytes"]
-    return total
+from unet3d_tpu.parallel.hlo_stats import (  # noqa: E402
+    collective_byte_stats as collective_bytes, predict_scaling)
 
 
 def build_hlo(mesh_spec: dict, shape: int, filters, batch_per_data: int = 1,
@@ -152,24 +106,22 @@ def main():
         with open(args.hlo_out, "w") as f:
             f.write(hlo)
     stats = collective_bytes(hlo)
-    wire = wire_bytes_per_chip(stats, n)
-    comm_ms = wire / (args.ici_gbps * 1e9) * 1e3
     # per-chip compute stays the single-chip step at per-chip batch 1 for pure
     # DP; a space axis divides the volume (and roughly the compute) per chip
-    space = spec.get("space", 1)
-    compute_ms = args.step_ms / space
-    no_overlap = compute_ms / (compute_ms + comm_ms)
+    pred = predict_scaling(stats, n, args.step_ms,
+                           space=spec.get("space", 1), ici_gbps=args.ici_gbps)
     result = {
         "mesh": spec, "shape": args.shape, "n_chips": n,
         "param_bytes": param_bytes,
-        "collectives": stats,
-        "wire_bytes_per_chip": wire,
+        "collectives": {op: {"count": e["count"], "bytes": e["bytes"],
+                             "max_bytes": max(e["sizes"])}
+                        for op, e in stats.items()},
         "ici_gbps": args.ici_gbps,
-        "comm_ms": round(comm_ms, 3),
-        "compute_ms_per_chip": round(compute_ms, 3),
-        "efficiency_no_overlap": round(no_overlap, 4),
-        "efficiency_full_overlap": round(
-            min(1.0, compute_ms / max(compute_ms, comm_ms)), 4),
+        "wire_bytes_per_chip": pred["wire_bytes_per_chip"],
+        "comm_ms": round(pred["comm_ms"], 3),
+        "compute_ms_per_chip": round(pred["compute_ms_per_chip"], 3),
+        "efficiency_no_overlap": round(pred["efficiency_no_overlap"], 4),
+        "efficiency_full_overlap": round(pred["efficiency_full_overlap"], 4),
     }
     print(json.dumps(result, indent=1))
 
