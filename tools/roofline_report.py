@@ -25,7 +25,15 @@ from collections import defaultdict
 TRACE_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_trace_r2"
 HLO = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_step_hlo.txt"
 N_PROF = 3
-HBM_GBPS = 250.0  # measured effective copy bandwidth, PERF.md round 1
+# Two ceilings (VERDICT r4 item 3 / weak #1): the old 250 GB/s COPY ceiling
+# understates what a streaming op can reach, so "saturated vs copy ceiling"
+# overstated how done the schedule was. tools/bench_stream.py measured the
+# chip's real STREAM ceilings (round 5): f32 scale 399 / f32 triad 480 /
+# bf16 scale 682 / bf16 triad 409 GB/s. The report now grades every op
+# against the strictest honest standard — the best measured stream rate —
+# and keeps the copy ceiling as context.
+HBM_GBPS = 250.0    # measured effective copy bandwidth, PERF.md round 1
+STREAM_GBPS = 682.0  # best measured stream rate (bf16 scale), bench_stream
 ROOFLINE_FRAC = 0.70
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
@@ -128,10 +136,16 @@ def main():
 
     rows.sort(reverse=True)
     total = sum(r[0] for r in rows)
-    at_roof = sum(r[0] for r in rows if r[3] >= ROOFLINE_FRAC * HBM_GBPS)
+    at_copy = sum(r[0] for r in rows if r[3] >= ROOFLINE_FRAC * HBM_GBPS)
+    at_stream = sum(r[0] for r in rows if r[3] >= ROOFLINE_FRAC * STREAM_GBPS)
+    conv_ms = sum(r[0] for r in rows
+                  if "conv_general_dilated" in r[4] or "dot_general" in r[4])
     print(f"total attributed device time {total:.1f} ms/step; "
-          f"{at_roof:.1f} ms ({100*at_roof/total:.0f}%) runs at >= "
-          f"{ROOFLINE_FRAC:.0%} of the {HBM_GBPS:.0f} GB/s HBM ceiling")
+          f"{at_copy:.1f} ms ({100*at_copy/total:.0f}%) runs at >= "
+          f"{ROOFLINE_FRAC:.0%} of the {HBM_GBPS:.0f} GB/s COPY ceiling; "
+          f"{at_stream:.1f} ms ({100*at_stream/total:.0f}%) at >= "
+          f"{ROOFLINE_FRAC:.0%} of the {STREAM_GBPS:.0f} GB/s STREAM ceiling "
+          f"(bench_stream); conv/dot emitters {conv_ms:.1f} ms")
     print(f"{'ms':>7} {'lbMB':>7} {'ubMB':>7} {'GB/s':>7} {'%roof':>6}  {'hlo':28} op_name")
     for ms, name, b, gbps, op, opcode, ub in rows[:45]:
         print(f"{ms:7.2f} {b/1e6:7.0f} {ub/1e6:7.0f} {gbps:7.0f} {100*gbps/HBM_GBPS:5.0f}%"
@@ -141,12 +155,14 @@ def main():
     print("\n== buckets ==")
     buckets = defaultdict(float)
     for ms, name, b, gbps, op, opcode, ub in rows:
-        if gbps >= ROOFLINE_FRAC * HBM_GBPS:
-            buckets["bandwidth-saturated (>=70% roofline)"] += ms
+        if gbps >= ROOFLINE_FRAC * STREAM_GBPS:
+            buckets["stream-saturated (>=70% of measured stream bw)"] += ms
         elif "conv_general_dilated" in op or "dot_general" in op:
             buckets["conv/dot emitters (MXU- or emitter-bound)"] += ms
+        elif gbps >= ROOFLINE_FRAC * HBM_GBPS:
+            buckets["above copy ceiling, below stream (scheduling-bound?)"] += ms
         else:
-            buckets["below roofline, non-conv (headroom?)"] += ms
+            buckets["below copy ceiling, non-conv (headroom?)"] += ms
     for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
         print(f"  {v:8.1f} ms  {k}")
     print("\n== below-roofline non-conv ops >0.3 ms (the actual headroom list) ==")
