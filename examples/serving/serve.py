@@ -6,8 +6,11 @@ Loads a `unet3d-export` StableHLO artifact and serves it:
     python examples/serving/serve.py --artifact model.u3dexp --port 8642
 
     GET  /health        -> JSON: artifact metadata (avals, platforms, model)
-    POST /predict       -> body: one .npy (np.save) array, channel-first
-                           (B, C, D, H, W) float32; response: one .npy array
+    POST /predict       -> body: one .npy (np.save) array in the artifact's
+                           entry layout (channel-first (B, C, D, H, W) by
+                           default; (B, D, H, W, C) for entry_layout="ndhwc"
+                           artifacts — check GET /health's "entry_layout"),
+                           float32; response: one .npy array, same layout
 
 The exported program is compiled once at startup; a dynamic-batch artifact
 serves any batch size the client posts. Client example:

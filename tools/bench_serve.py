@@ -29,33 +29,45 @@ def main():
         upsample_kernel_size=strides[1:], deep_supervision=False)
     variables = init_params(model, (size, size, size, 4))
 
-    t0 = time.perf_counter()
-    exported = export_forward(model, variables, (size, size, size, 4),
-                              amp=True, activation="sigmoid")
-    path = "/tmp/flagship.u3dexp"
-    save_exported(exported, path)
-    print(f"export+save: {time.perf_counter() - t0:.1f}s "
-          f"({os.path.getsize(path) / 1e6:.1f} MB)", flush=True)
-
     import jax.numpy as jnp2
 
-    served = load_exported(path)
     rng = np.random.RandomState(0)
     x = rng.rand(1, 4, size, size, size).astype(np.float32)
-    t0 = time.perf_counter()
-    out = np.asarray(served(x))  # includes device compile of the artifact
-    print(f"first served call (compile): {time.perf_counter() - t0:.1f}s "
-          f"out={out.shape}", flush=True)
     n = 10
-    xd = jnp2.asarray(x)  # input staged on device: isolate program time
-    t0 = time.perf_counter()
-    for _ in range(n):
-        # scalar-sum sync: full-volume host readback through this tunnel is
-        # ~1.7 s of pure transfer and would swamp the device time
-        float(jnp2.sum(served(xd)))
-    served_ms = (time.perf_counter() - t0) / n * 1e3
-    print(f"served artifact forward: {served_ms:.1f} ms/case "
-          f"(device time, scalar sync)", flush=True)
+    served_ms = {}
+    out = None
+    for layout in ("ncdhw", "ndhwc"):
+        t0 = time.perf_counter()
+        exported = export_forward(model, variables, (size, size, size, 4),
+                                  amp=True, activation="sigmoid",
+                                  entry_layout=layout)
+        path = f"/tmp/flagship_{layout}.u3dexp"
+        save_exported(exported, path)
+        print(f"[{layout}] export+save: {time.perf_counter() - t0:.1f}s "
+              f"({os.path.getsize(path) / 1e6:.1f} MB)", flush=True)
+
+        served = load_exported(path)
+        # ndhwc entry: the layout transpose happens host-side (numpy, free
+        # relative to the tunnel) — the artifact program itself is
+        # transpose-free
+        xl = x if layout == "ncdhw" else np.moveaxis(x, 1, -1).copy()
+        t0 = time.perf_counter()
+        o = np.asarray(served(xl))  # includes device compile of the artifact
+        out = o if layout == "ncdhw" else np.moveaxis(o, -1, 1)
+        print(f"[{layout}] first served call (compile): "
+              f"{time.perf_counter() - t0:.1f}s out={o.shape}", flush=True)
+        xd = jnp2.asarray(xl)  # input staged on device: isolate program time
+        # dispatch n calls back-to-back, sync ONCE with a scalar sum: per-call
+        # sync would add one tunnel round-trip (~30-80 ms, varies by session)
+        # to every iteration and measure the tunnel, not the device — the
+        # round-4b 155-vs-109 ms "serving overhead" was exactly this artifact
+        t0 = time.perf_counter()
+        ys = [served(xd) for _ in range(n)]
+        float(jnp2.sum(ys[-1]))
+        served_ms[layout] = (time.perf_counter() - t0) / n * 1e3
+        print(f"[{layout}] served artifact forward: "
+              f"{served_ms[layout]:.1f} ms/case "
+              f"(device time, batch-dispatch scalar sync)", flush=True)
 
     # in-process comparison: the predict path's jitted forward
     import jax.numpy as jnp
@@ -68,11 +80,11 @@ def main():
     run = lambda: apply_activation(forward(xj).astype(jnp.float32), "sigmoid")
     out2 = np.asarray(run())
     t0 = time.perf_counter()
-    for _ in range(n):
-        float(jnp.sum(run()))
+    ys = [run() for _ in range(n)]
+    float(jnp.sum(ys[-1]))
     direct_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"in-process jit forward:  {direct_ms:.1f} ms/case "
-          f"(device time, scalar sync)", flush=True)
+          f"(device time, batch-dispatch scalar sync)", flush=True)
     err = float(np.max(np.abs(out - np.moveaxis(out2[0], -1, 0)[None])))
     print(f"max |served - direct| = {err:.2e}", flush=True)
 

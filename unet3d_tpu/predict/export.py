@@ -164,6 +164,10 @@ class ExportedModel:
     def __init__(self, exported, metadata: Dict[str, Any]):
         self.exported = exported
         self.metadata = metadata
+        # jit the calling convention once: eager `Exported.call` re-traces on
+        # every invocation (pure host overhead per serving request); under
+        # jit the trace is cached per concrete input shape
+        self._jitted_call = None
 
     def _mesh(self):
         """Rebuild a same-shape mesh over this process's devices for a
@@ -192,7 +196,9 @@ class ExportedModel:
         if int(self.exported.nr_devices) > 1:
             (in_sharding,) = self.exported.in_shardings_jax(self._mesh())
             x = jax.device_put(x, in_sharding)
-        return self.exported.call(x)
+        if self._jitted_call is None:
+            self._jitted_call = jax.jit(self.exported.call)
+        return self._jitted_call(x)
 
     def ndhwc_forward(self) -> Callable:
         """Adapter with the `make_forward` calling convention (NDHWC in/out)
