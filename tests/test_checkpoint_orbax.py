@@ -101,3 +101,29 @@ def test_train_cli_orbax_backend(tmp_path):
     train_main(["--config_filename", cfg_fn, "--output_dir", out_dir])
     log = open(os.path.join(work, "training_log.csv")).read().strip().splitlines()
     assert len(log) == 4  # header + 3 epochs, resume appended not restarted
+
+
+def test_is_orbax_path_ignores_generic_work_dirs(tmp_path):
+    """A directory that merely CONTAINS files named 'checkpoint' or 'd' is a
+    work dir, not an orbax checkpoint — it must raise the descriptive
+    'not a checkpoint' error, not dispatch into orbax internals."""
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "checkpoint").write_text("an unrelated file")
+    (work / "d").mkdir()
+    assert not is_orbax_path(str(work))
+    with pytest.raises(ValueError, match="does not look like an orbax"):
+        load_checkpoint(str(work))
+
+
+def test_is_orbax_path_accepts_real_layout(tmp_path):
+    """Real orbax saves (StandardCheckpointHandler/ocdbt) keep dispatching."""
+    save_checkpoint(_tree(), str(tmp_path / "m.orbax"))
+    wait_for_saves()
+    # probe by layout, not by the .orbax naming convention
+    renamed = tmp_path / "renamed_dir"
+    os.rename(tmp_path / "m.orbax", renamed)
+    assert is_orbax_path(str(renamed))
+    loaded = load_checkpoint(str(renamed))
+    np.testing.assert_array_equal(loaded["params"]["layer"]["kernel"],
+                                  _tree()["params"]["layer"]["kernel"])

@@ -108,8 +108,12 @@ def test_export_ndhwc_entry_layout(tmp_path):
     exported = export_forward(model, variables, (8, 8, 8, 2),
                               activation="sigmoid", entry_layout="ndhwc")
     path = str(tmp_path / "model_ndhwc.u3dexp")
-    save_exported(exported, path, metadata={"entry_layout": "ndhwc"})
+    # NO manual metadata: export_forward stamps the layout and save_exported
+    # writes it — an ndhwc artifact saved through the bare library API must
+    # still pick the passthrough ndhwc_forward adapter below
+    save_exported(exported, path)
     served = load_exported(path)
+    assert served.metadata["entry_layout"] == "ndhwc"
     rng = np.random.RandomState(4)
     x_ncdhw = rng.rand(2, 2, 8, 8, 8).astype(np.float32)
     x_ndhwc = np.transpose(x_ncdhw, (0, 2, 3, 4, 1))

@@ -33,11 +33,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EFFECTIVE_ICI_GBPS = 45.0   # per-direction effective, v5e (band: 25-90)
 SINGLE_CHIP_STEP_MS = 121.7  # measured, BENCH_r04 / PERF.md round 4
 
 from unet3d_tpu.parallel.hlo_stats import (  # noqa: E402
-    collective_byte_stats as collective_bytes, predict_scaling)
+    EFFECTIVE_ICI_GBPS, collective_byte_stats as collective_bytes,
+    predict_scaling)
 
 
 def build_hlo(mesh_spec: dict, shape: int, filters, batch_per_data: int = 1,

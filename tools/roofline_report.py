@@ -22,8 +22,18 @@ import re
 import sys
 from collections import defaultdict
 
-TRACE_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_trace_r2"
-HLO = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_step_hlo.txt"
+# usage: roofline_report.py [trace_dir] [hlo_path] [--stream_gbps N]
+# (--stream_gbps: re-measured ceiling from tools/bench_stream.py on another chip)
+_FLAG_STREAM = None
+_argv = []
+_it = iter(sys.argv[1:])
+for _a in _it:
+    if _a.startswith("--stream_gbps"):
+        _FLAG_STREAM = float(_a.split("=", 1)[1] if "=" in _a else next(_it))
+    else:
+        _argv.append(_a)
+TRACE_DIR = _argv[0] if len(_argv) > 0 else "/tmp/step_trace_r2"
+HLO = _argv[1] if len(_argv) > 1 else "/tmp/train_step_hlo.txt"
 N_PROF = 3
 # Two ceilings (VERDICT r4 item 3 / weak #1): the old 250 GB/s COPY ceiling
 # understates what a streaming op can reach, so "saturated vs copy ceiling"
@@ -33,7 +43,7 @@ N_PROF = 3
 # against the strictest honest standard — the best measured stream rate —
 # and keeps the copy ceiling as context.
 HBM_GBPS = 250.0    # measured effective copy bandwidth, PERF.md round 1
-STREAM_GBPS = 682.0  # best measured stream rate (bf16 scale), bench_stream
+STREAM_GBPS = _FLAG_STREAM or 682.0  # best measured stream rate (bf16 scale)
 ROOFLINE_FRAC = 0.70
 
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,

@@ -24,6 +24,7 @@ those taxes. tools/bench_block_kernel.py records the verdict.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -42,13 +43,15 @@ from unet3d_tpu.ops.pallas.conv3d_kernel import _pad_to_lanes, _pick_tile
 
 def pallas_block_conv3d_available(shape: Tuple[int, ...],
                                   w_shape: Tuple[int, ...]) -> bool:
+    """The kernel's real preconditions: pallas importable, 3x3x3 taps, and a
+    valid H tile (any W tail-pads to 16 sublanes; any C pads to 128 lanes —
+    the C<128 padding tax is an economics question, not a validity one).
+    ``pallas_block_conv3d`` enforces this; callers use it to pre-screen."""
     if not _PALLAS_OK:
         return False
     if tuple(w_shape[:3]) != (3, 3, 3):
         return False
-    _, d, h, w, c = shape
-    if w % 16 != 0:
-        return False
+    h = shape[2]
     return _pick_tile(h) is not None
 
 
@@ -135,9 +138,6 @@ def _block_kernel(th: int, w: int, c: int, cout: int, h_pad: int, d_out: int,
     return kernel
 
 
-from functools import partial
-
-
 @partial(jax.jit, static_argnames=("alpha",))
 def pallas_block_conv3d(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                         shift: jnp.ndarray, alpha: float = 0.01) -> jnp.ndarray:
@@ -148,6 +148,10 @@ def pallas_block_conv3d(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     Forward-only (the experiment measures forward economics first; the
     backward would reuse conv3d_kernel's dx/dw with the chain rule applied
     outside)."""
+    if not pallas_block_conv3d_available(x.shape, w.shape):
+        raise ValueError(
+            f"pallas_block_conv3d: unsupported shapes x={x.shape} "
+            f"w={w.shape} (needs pallas, 3x3x3 taps, and a tileable H)")
     n, d, h, wd, c = x.shape
     cout = w.shape[-1]
     th = _pick_tile(h)

@@ -30,12 +30,19 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
 
 # Output-shape definitions: `%name = TYPE[dims]{layout} op-name(...)`;
 # tuple-shaped outputs: `%name = (TYPE[..], TYPE[..]) op-name(...)`.
-# Longer names first so async `-start` forms don't fall through to the base
-# name mid-token; `-done` ops carry no new traffic and are excluded.
+# Every collective's async `-start` form is matched (longer names first so
+# they don't fall through to the base name mid-token); `-done` ops carry no
+# new traffic and are excluded.
 _DEF_RE = re.compile(
-    r"=\s*(\(?[^=]*?\)?)\s+(all-reduce-start|all-reduce|reduce-scatter|"
+    r"=\s*(\(?[^=]*?\)?)\s+(all-reduce-start|all-reduce|"
+    r"reduce-scatter-start|reduce-scatter|"
     r"all-gather-start|all-gather|collective-permute-start|"
-    r"collective-permute|all-to-all)\(")
+    r"collective-permute|all-to-all-start|all-to-all)\(")
+# Subgroup size from the instruction's replica_groups attribute — both print
+# forms: explicit `{{0,1,2,3},{4,5,6,7}}` (size = first group's length) and
+# iota `[num_groups,group_size]<=[...]`.
+_GROUPS_EXPLICIT_RE = re.compile(r"replica_groups=\{\{([\d,]+)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[\d+,(\d+)\]<=")
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 # XLA prints `/*index=N*/` markers inside long tuple shapes and operand
 # lists; the `=` inside them breaks the non-greedy shape capture (this
@@ -58,38 +65,62 @@ def shape_bytes(text: str) -> int:
     return total
 
 
+def _group_size(line: str) -> int:
+    """Participant count of the instruction's replica subgroup (0: unknown)."""
+    m = _GROUPS_EXPLICIT_RE.search(line)
+    if m:
+        return m.group(1).count(",") + 1
+    m = _GROUPS_IOTA_RE.search(line)
+    if m:
+        return int(m.group(1))
+    return 0
+
+
 def collective_byte_stats(hlo: str) -> Dict[str, Dict[str, object]]:
-    """Per-collective-op ``{"count", "bytes", "sizes"}`` over the HLO text.
+    """Per-collective-op ``{"count", "bytes", "sizes", "groups"}`` over the
+    HLO text.
 
     ``bytes`` sums each instruction's full output shape (tuple outputs sum
     their elements); ``sizes`` lists the per-instruction byte sizes so tests
     can bound the largest single transfer (halo slabs must stay
-    O(shard surface), never O(volume)).
+    O(shard surface), never O(volume)); ``groups`` lists each instruction's
+    replica-subgroup size (0 when the attribute is absent) — on a mixed
+    DP×SP mesh a norm-stats all-reduce spans only the 4-chip space axis and
+    must be costed at (4-1)/4, not (8-1)/8.
     """
     out: Dict[str, Dict[str, object]] = {}
-    for m in _DEF_RE.finditer(_COMMENT_RE.sub("", hlo)):
+    for line in _COMMENT_RE.sub("", hlo).splitlines():
+        m = _DEF_RE.search(line)
+        if m is None:
+            continue
         shapes, op = m.group(1), m.group(2)
         if op.endswith("-start"):
             op = op[: -len("-start")]
-        entry = out.setdefault(op, {"count": 0, "bytes": 0, "sizes": []})
+        entry = out.setdefault(op, {"count": 0, "bytes": 0, "sizes": [],
+                                    "groups": []})
         b = shape_bytes(shapes)
         entry["count"] += 1
         entry["bytes"] += b
         entry["sizes"].append(b)
+        entry["groups"].append(_group_size(line))
     return out
 
 
 def wire_bytes_per_chip(stats: Dict[str, Dict[str, object]], n_chips: int) -> float:
-    """Per-chip wire traffic under the ring/torus algorithm model."""
-    ratio = (n_chips - 1) / n_chips
+    """Per-chip wire traffic under the ring/torus algorithm model, using each
+    instruction's own replica-subgroup size (falling back to ``n_chips``)."""
     total = 0.0
     for op, e in stats.items():
-        if op == "all-reduce":
-            total += 2 * ratio * e["bytes"]
-        elif op in ("reduce-scatter", "all-gather"):
-            total += ratio * e["bytes"]
-        else:  # collective-permute / all-to-all: one hop for the full buffer
-            total += e["bytes"]
+        groups = e.get("groups") or [0] * len(e["sizes"])
+        for b, g in zip(e["sizes"], groups):
+            g = g or n_chips
+            ratio = (g - 1) / g
+            if op == "all-reduce":
+                total += 2 * ratio * b
+            elif op in ("reduce-scatter", "all-gather"):
+                total += ratio * b
+            else:  # collective-permute / all-to-all: one hop, full buffer
+                total += b
     return total
 
 

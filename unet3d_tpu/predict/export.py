@@ -126,14 +126,23 @@ def export_forward(model, variables, input_shape: Sequence[int], *,
                 else (b, c_in, d, h, w))
     if mesh is None:
         spec = jax.ShapeDtypeStruct(in_shape, jnp.float32)
-        return jax_export.export(jax.jit(forward), **kwargs)(spec)
+        return _stamp_layout(jax_export.export(jax.jit(forward), **kwargs)(spec),
+                             entry_layout)
 
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, _entry_spec(mesh, entry_layout))
     spec = jax.ShapeDtypeStruct(in_shape, jnp.float32, sharding=sharding)
     jitted = jax.jit(forward, in_shardings=(sharding,), out_shardings=sharding)
-    return jax_export.export(jitted, **kwargs)(spec)
+    return _stamp_layout(jax_export.export(jitted, **kwargs)(spec), entry_layout)
+
+
+def _stamp_layout(exported, entry_layout: str):
+    """Record the entry layout ON the Exported so :func:`save_exported` writes
+    it into the header without every caller having to re-remember it —
+    ``load_exported(...).ndhwc_forward()`` picks the wrong adapter otherwise."""
+    object.__setattr__(exported, "_u3d_entry_layout", entry_layout)
+    return exported
 
 
 def save_exported(exported, path: str,
@@ -146,6 +155,8 @@ def save_exported(exported, path: str,
               "out_avals": [str(a) for a in exported.out_avals],
               "platforms": list(exported.platforms),
               "nr_devices": int(exported.nr_devices),
+              # stamped by export_forward; caller metadata may override
+              "entry_layout": getattr(exported, "_u3d_entry_layout", "ncdhw"),
               **(metadata or {})}
     blob = json.dumps(header, sort_keys=True).encode()
     tmp = f"{path}.tmp{os.getpid()}"

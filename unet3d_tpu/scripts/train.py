@@ -284,11 +284,23 @@ def run(config_filename, output_dir, namespace):
         space_axis = mesh.shape.get("space", 1)
         batch_size = int(config["training"]["batch_size"])
         if batch_size % data_axis:
+            hint = ""
+            if batch_size and n_devices % batch_size == 0:
+                hint = (f" (e.g. --mesh data{batch_size},"
+                        f"space{n_devices // batch_size})")
             raise ValueError(
                 f"batch_size={batch_size} is not divisible by the mesh's "
                 f"data axis ({data_axis}); pick a mesh whose data axis "
-                f"divides the batch (e.g. --mesh data{batch_size},"
-                f"space{n_devices // max(batch_size, 1)})")
+                f"divides the batch{hint}")
+        desired_shape = (config.get("dataset") or {}).get("desired_shape")
+        if space_axis > 1 and desired_shape and int(desired_shape[0]) % space_axis:
+            # fail up front with the fix, not mid-epoch with a raw sharding
+            # error from shard_batch/device_put (doc/Configuration.md states
+            # the divisibility rule; enforce it like the data axis above)
+            raise ValueError(
+                f"desired_shape depth {desired_shape[0]} is not divisible by "
+                f"the mesh's space axis ({space_axis}); pick a space size "
+                f"that divides the volume depth, or pad desired_shape")
         state = replicate_state(state, mesh)
         sharded_step = make_sharded_train_step(model, criterion, tx, mesh,
                                                amp=amp, grad_accum=grad_accum)

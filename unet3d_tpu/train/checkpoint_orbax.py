@@ -58,9 +58,15 @@ def is_orbax_path(path: str) -> bool:
         return True
     if not os.path.isdir(path):
         return False
-    return any(os.path.exists(os.path.join(path, marker)) for marker in
-               ("_CHECKPOINT_METADATA", "checkpoint", "_METADATA",
-                "manifest.ocdbt", "d"))
+    # orbax-specific markers only: generic names like "checkpoint" or "d"
+    # appear in ordinary work dirs and would misroute them into orbax (the
+    # confusing-internal-error this probe exists to prevent). These cover
+    # StandardCheckpointHandler/ocdbt layouts across orbax versions.
+    if any(os.path.exists(os.path.join(path, marker)) for marker in
+           ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt")):
+        return True
+    import glob
+    return bool(glob.glob(os.path.join(path, "ocdbt.process_*")))
 
 
 def save_checkpoint_orbax(variables: Dict, path: str) -> None:
