@@ -370,3 +370,47 @@ def test_cross_entropy_matches_torch_onehot_and_probabilities():
     tt = torch.tensor(target.transpose(0, 4, 1, 2, 3))
     expected = float(torch.nn.functional.cross_entropy(tp, tt))
     assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_focal_per_class_weight_applied():
+    """MONAI FocalLoss `weight` multiplies the per-class loss (broadcast over
+    the channel axis); a silently-ignored weight was a round-5 review find."""
+    pred, target = _pair(shape=(1, 4, 4, 4, 3))
+    w = [0.1, 1.0, 2.0]
+    base = np.asarray(FocalLoss(gamma=2.0, reduction="none")(pred, target))
+    out = float(FocalLoss(gamma=2.0, weight=w)(pred, target))
+    np.testing.assert_allclose(out, (np.asarray(w, np.float32) * base).mean(),
+                               rtol=1e-5)
+    with pytest.raises(ValueError, match="weight"):
+        FocalLoss(weight=[1.0, 2.0])(pred, target)  # 2 weights, 3 classes
+
+
+def test_focal_softmax_alpha_nulled_without_background():
+    """MONAI nulls alpha (with a warning) for softmax + include_background=False
+    — the 1-alpha factor would otherwise hit a FOREGROUND channel."""
+    import warnings
+
+    pred, target = _pair(shape=(1, 4, 4, 4, 3))
+    plain = float(FocalLoss(include_background=False, use_softmax=True,
+                            gamma=2.0)(pred, target))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = float(FocalLoss(include_background=False, use_softmax=True,
+                              gamma=2.0, alpha=0.75)(pred, target))
+    assert any("alpha" in str(w.message) for w in caught)
+    np.testing.assert_allclose(out, plain, rtol=1e-6)
+
+
+def test_dice_ce_multichannel_uses_softmax_ce_regardless_of_sigmoid():
+    """MONAI DiceCELoss routes the CE leg on channel count alone
+    (`self.ce(input, target) if input.shape[1] != 1 else self.bce(...)`);
+    sigmoid/softmax flags shape only the Dice leg."""
+    from unet3d_tpu.train.losses import DiceCELoss, DiceLoss
+
+    pred, target = _pair(shape=(2, 4, 4, 4, 3))
+    out = float(DiceCELoss(sigmoid=True)(pred, target))
+    dice = float(DiceLoss(sigmoid=True)(pred, target))
+    t = np.asarray(target, np.float32)
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(pred), axis=-1))
+    ce = float(-np.mean(np.sum(t * logp, axis=-1)))
+    np.testing.assert_allclose(out, dice + ce, rtol=1e-5)

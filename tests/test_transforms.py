@@ -198,15 +198,37 @@ def test_histogram_shift_monotone_and_range_preserving():
 def test_gaussian_sharpen_formula():
     from unet3d_tpu.data.transforms import separable_gaussian_blur
     img, _ = _sample()
+    # pair-valued sigmas pin every draw so the unsharp formula is exact
     t = build_transform({"name": "RandGaussianSharpenD", "prob": 1.0,
                          "sigma1_x": 1.0, "sigma1_y": 1.0, "sigma1_z": 1.0,
-                         "sigma2_x": 0.5, "sigma2_y": 0.5, "sigma2_z": 0.5,
-                         "alpha": (20.0, 20.0)})
+                         "sigma2_x": (0.5, 0.5), "sigma2_y": (0.5, 0.5),
+                         "sigma2_z": (0.5, 0.5), "alpha": (20.0, 20.0)})
     out, _ = t(np.random.RandomState(0), img, None)
     b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0])
     b2 = separable_gaussian_blur(b1, [0.5, 0.5, 0.5])
     expected = b1 + 20.0 * (b1 - b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4)
+
+
+def test_gaussian_sharpen_scalar_sigma2_samples_up_to_sigma1():
+    """MONAI: a SCALAR sigma2 component x samples U(x, sampled_sigma1), not a
+    fixed x — with sigma1 pinned to 1.0 and sigma2_x=0.5 the drawn sigma2 must
+    land strictly inside (0.5, 1.0) for some seed (fixed-x behavior never
+    moves off 0.5)."""
+    from unet3d_tpu.data.transforms import RandGaussianSharpenD, \
+        separable_gaussian_blur
+    img, _ = _sample()
+    t = RandGaussianSharpenD(prob=1.0, sigma1_x=(1.0, 1.0), sigma1_y=(1.0, 1.0),
+                             sigma1_z=(1.0, 1.0), sigma2_x=0.5, sigma2_y=0.5,
+                             sigma2_z=0.5, alpha=(20.0, 20.0))
+    rng = np.random.RandomState(3)
+    out, _ = t(rng, img, None)
+    fixed_rng = np.random.RandomState(3)
+    fixed_rng.rand()  # the prob gate draw
+    b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0])
+    b2_fixed = separable_gaussian_blur(b1, [0.5, 0.5, 0.5])
+    fixed = b1 + 20.0 * (b1 - b2_fixed)
+    assert not np.allclose(np.asarray(out), np.asarray(fixed), rtol=1e-4)
 
 
 def test_coarse_dropout_holes_and_inverse():
@@ -325,3 +347,93 @@ def test_center_spatial_crop_centers():
     np.testing.assert_array_equal(np.asarray(out_img)[0, :, 0, 0],
                                   [2.0, 3.0, 4.0, 5.0])
     assert np.asarray(out_lbl).shape == (1, 4, 8, 8)
+
+
+def test_rand_affine_reflection_matches_torch_grid_sample():
+    """The reflection padding added for MONAI RandAffined's default maps
+    out-of-volume coords exactly like torch grid_sample
+    padding_mode='reflection', align_corners=True."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    import jax.numpy as jnp
+
+    from unet3d_tpu.ops.resample import resample_transform
+
+    rng = np.random.RandomState(5)
+    vol = rng.rand(1, 7, 8, 9).astype(np.float32)
+    # a transform that pushes well outside the volume on every axis
+    tr = np.eye(4)
+    tr[:3, :3] = np.diag([1.3, 0.7, 1.1])
+    tr[:3, 3] = [-2.5, 3.0, -4.0]
+    ours = np.asarray(resample_transform(jnp.asarray(vol), jnp.asarray(tr),
+                                         (7, 8, 9), mode="trilinear",
+                                         reflect=True))[0]
+    zz, yy, xx = np.meshgrid(np.arange(7), np.arange(8), np.arange(9),
+                             indexing="ij")
+    dst = np.stack([zz, yy, xx, np.ones_like(zz)]).reshape(4, -1)
+    src = (tr @ dst)[:3].reshape(3, 7, 8, 9)
+    norm = [2 * src[i] / (s - 1) - 1 for i, s in enumerate((7, 8, 9))]
+    grid = np.stack([norm[2], norm[1], norm[0]], axis=-1)[None].astype(np.float32)
+    want = F.grid_sample(torch.from_numpy(vol[None]), torch.from_numpy(grid),
+                         mode="bilinear", padding_mode="reflection",
+                         align_corners=True)[0, 0].numpy()
+    np.testing.assert_allclose(ours, want, atol=2e-5)
+
+
+def test_keep_size_false_fails_fast():
+    from unet3d_tpu.data.transforms import RandRotateD, RandZoomD
+
+    with pytest.raises(NotImplementedError, match="keep_size"):
+        RandRotateD(prob=1.0, range_x=0.3, keep_size=False)
+    with pytest.raises(NotImplementedError, match="keep_size"):
+        RandZoomD(prob=1.0, keep_size=False)
+
+
+def test_per_key_mode_sequence_maps_image_and_label():
+    """MONAI dict-transform configs pass mode=['bilinear', 'nearest'] matched
+    to keys=('image', 'label'); previously this crashed at resample time."""
+    from unet3d_tpu.data.transforms import RandRotateD
+
+    t = RandRotateD(prob=1.0, range_x=0.3, mode=["bilinear", "nearest"])
+    assert t.mode == "trilinear" and t.label_mode == "nearest"
+    img, lbl = _sample()
+    out_img, out_lbl = t(np.random.RandomState(2), img, lbl)
+    # nearest-warped label stays integral
+    assert set(np.unique(np.asarray(out_lbl))).issubset({0.0, 1.0})
+    with pytest.raises(ValueError, match="per-key"):
+        RandRotateD(prob=1.0, mode=["bilinear", "nearest"],
+                    label_mode="nearest")
+
+
+def test_intensity_single_element_sequence_rejected():
+    """A 1-element factors/offsets sequence previously fell through to
+    np.random.uniform(low=x, high=1.0) — MONAI rejects it."""
+    from unet3d_tpu.data.transforms import (RandScaleIntensityD,
+                                            RandShiftIntensityD)
+
+    with pytest.raises(ValueError, match="factors"):
+        RandScaleIntensityD(prob=1.0, factors=[0.1])
+    with pytest.raises(ValueError, match="offsets"):
+        RandShiftIntensityD(prob=1.0, offsets=[0.1])
+    # scalar keeps MONAI's U(-x, x); pair keeps U(a, b)
+    assert RandScaleIntensityD(factors=0.2).factors == (-0.2, 0.2)
+    assert RandShiftIntensityD(offsets=(0.1, 0.3)).offsets == (0.1, 0.3)
+
+
+def test_rand_affine_padding_mode_border_and_zeros():
+    from unet3d_tpu.data.transforms import RandAffineD
+
+    img = np.full((1, 8, 8, 8), 7.0, np.float32)
+    # large translation: zeros must pull the border toward 0, border must not
+    z, _ = RandAffineD(prob=1.0, translate_range=[(4.0, 4.0)],
+                       padding_mode="zeros")(np.random.RandomState(0), img, None)
+    b, _ = RandAffineD(prob=1.0, translate_range=[(4.0, 4.0)],
+                       padding_mode="border")(np.random.RandomState(0), img, None)
+    r, _ = RandAffineD(prob=1.0, translate_range=[(4.0, 4.0)])(
+        np.random.RandomState(0), img, None)  # default: reflection
+    assert float(np.asarray(z).min()) == 0.0
+    assert float(np.asarray(b).min()) > 6.9
+    assert float(np.asarray(r).min()) > 6.9  # constant volume reflects to itself
+    with pytest.raises(ValueError, match="padding_mode"):
+        RandAffineD(prob=1.0, padding_mode="wrap")

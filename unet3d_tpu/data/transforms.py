@@ -50,11 +50,17 @@ class Transform:
         raise NotImplementedError
 
 
-def _triple_range(value) -> Tuple[float, float, float]:
+def _intensity_range(value, name: str) -> Tuple[float, float]:
+    """MONAI intensity-range semantics: scalar r -> U(-r, r); a sequence must
+    be a (min, max) pair (MONAI raises on other lengths — a silent
+    1-element fallthrough previously became np.random.uniform(low=x, high=1))."""
     if isinstance(value, (int, float)):
-        return (float(value),) * 3
-    out = tuple(float(v) for v in value)
-    return out + (0.0,) * (3 - len(out))
+        return (-float(value), float(value))
+    vals = tuple(float(v) for v in value)
+    if len(vals) != 2:
+        raise ValueError(f"{name} must be a number or a (min, max) pair, "
+                         f"got {value!r}")
+    return vals
 
 
 def _range_pair(value) -> Tuple[float, float]:
@@ -91,21 +97,52 @@ def _center_transform(matrix: np.ndarray, shape: Sequence[int]) -> np.ndarray:
     return t
 
 
+_PADDING_MODES = ("zeros", "border", "reflection")
+
+
+def _check_padding_mode(padding_mode: str, name: str) -> str:
+    # MONAI grid-sample names; "edge" is RandZoomd's np.pad spelling of border
+    mode = {"edge": "border"}.get(padding_mode, padding_mode)
+    if mode not in _PADDING_MODES:
+        raise ValueError(f"{name}: unsupported padding_mode {padding_mode!r} "
+                         f"(supported: {_PADDING_MODES} and 'edge')")
+    return mode
+
+
+def _mode_pair(mode, label_mode, name: str):
+    """MONAI dict transforms accept per-key mode sequences matched to
+    ``keys=("image", "label")``; normalize (mode, label_mode) from either
+    form, mapping torch's 'bilinear'/'area' to this package's 'trilinear'."""
+    if isinstance(mode, (list, tuple)):
+        if label_mode is not None or not 1 <= len(mode) <= 2:
+            raise ValueError(f"{name}: per-key mode sequence {mode!r} must "
+                             "have one entry per key (image[, label]) and "
+                             "excludes label_mode")
+        label_mode = mode[1] if len(mode) > 1 else None
+        mode = mode[0]
+    remap = lambda m: "trilinear" if m in ("bilinear", "area") else m
+    mode = remap(mode)
+    return mode, remap(label_mode) if label_mode is not None else mode
+
+
 def _apply_spatial(image, label, transform: np.ndarray, mode: str, label_mode: str,
-                   clip_to_edge: bool = False):
+                   padding_mode: str = "zeros"):
     """dst-voxel -> src-voxel resample of image (+label) with a shared transform.
 
-    ``clip_to_edge`` clamps source coordinates to the volume (border/edge
-    padding instead of zero fill)."""
+    ``padding_mode``: "zeros" fills outside the volume with 0, "border" clamps
+    source coordinates to the volume edge, "reflection" mirrors them about the
+    border voxel centers (the torch grid_sample names MONAI uses)."""
     tr = jnp.asarray(transform)
     shape = tuple(image.shape[-3:])
     clip = (jnp.asarray([s - 1 for s in shape], jnp.float32)
-            if clip_to_edge else None)
+            if padding_mode == "border" else None)
+    reflect = padding_mode == "reflection"
     image = resample_transform(jnp.asarray(image), tr, shape, mode=mode,
-                               clip_max=clip)
+                               clip_max=clip, reflect=reflect)
     if label is not None:
         label = resample_transform(jnp.asarray(label, dtype=jnp.float32), tr, shape,
-                                   mode=label_mode, clip_max=clip)
+                                   mode=label_mode, clip_max=clip,
+                                   reflect=reflect)
     return image, label
 
 
@@ -165,19 +202,22 @@ def _rotation_matrix(angles: Sequence[float]) -> np.ndarray:
 
 class RandRotateD(Transform):
     """MONAI RandRotated: per-axis uniform angles, rotate about the center,
-    keep_size, zero padding."""
+    keep_size, border padding (the MONAI Rotated default)."""
     spatial = True
 
     def __init__(self, prob: float = 0.1, range_x=0.0, range_y=0.0, range_z=0.0,
                  mode: str = "bilinear", label_mode: Optional[str] = None,
-                 keep_size: bool = True):
+                 keep_size: bool = True, padding_mode: str = "border"):
         self.prob = prob
         # MONAI: scalar r -> U(-r, r); pair (a, b) -> U(a, b) per axis
         self.ranges = (_range_pair(range_x), _range_pair(range_y),
                        _range_pair(range_z))
-        self.mode = "trilinear" if mode == "bilinear" else mode
-        self.label_mode = label_mode or self.mode
-        del keep_size  # always keep size (MONAI default)
+        self.mode, self.label_mode = _mode_pair(mode, label_mode, "RandRotateD")
+        if not keep_size:
+            raise NotImplementedError(
+                "RandRotateD: keep_size=False (shape-expanding rotate) is not "
+                "implemented; the output grid always matches the input")
+        self.padding_mode = _check_padding_mode(padding_mode, "RandRotateD")
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
@@ -187,7 +227,8 @@ class RandRotateD(Transform):
         rot = _rotation_matrix(angles)
         # dst->src mapping is the inverse rotation
         transform = _center_transform(rot.T, image.shape[-3:])
-        return _apply_spatial(image, label, transform, self.mode, self.label_mode)
+        return _apply_spatial(image, label, transform, self.mode, self.label_mode,
+                              padding_mode=self.padding_mode)
 
 
 class RandZoomD(Transform):
@@ -196,22 +237,26 @@ class RandZoomD(Transform):
 
     def __init__(self, prob: float = 0.1, min_zoom: float = 0.9, max_zoom: float = 1.1,
                  mode: str = "bilinear", label_mode: Optional[str] = None,
-                 keep_size: bool = True):
+                 keep_size: bool = True, padding_mode: str = "edge"):
         self.prob = prob
         self.min_zoom = min_zoom
         self.max_zoom = max_zoom
-        self.mode = "trilinear" if mode in ("bilinear", "area") else mode
-        self.label_mode = label_mode or self.mode
+        self.mode, self.label_mode = _mode_pair(mode, label_mode, "RandZoomD")
+        if not keep_size:
+            raise NotImplementedError(
+                "RandZoomD: keep_size=False (shape-changing zoom) is not "
+                "implemented; the output grid always matches the input")
+        # MONAI keep_size pads zoomed-out volumes with EDGE values by default:
+        # clamping source coords to the volume reproduces that border behavior
+        self.padding_mode = _check_padding_mode(padding_mode, "RandZoomD")
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
         zoom = rng.uniform(self.min_zoom, self.max_zoom)
         transform = _center_transform(np.eye(3) / zoom, image.shape[-3:])
-        # MONAI keep_size pads zoomed-out volumes with EDGE values, not zeros:
-        # clamping source coords to the volume reproduces that border behavior
         return _apply_spatial(image, label, transform, self.mode,
-                              self.label_mode, clip_to_edge=True)
+                              self.label_mode, padding_mode=self.padding_mode)
 
 
 class RandAffineD(Transform):
@@ -220,7 +265,8 @@ class RandAffineD(Transform):
 
     def __init__(self, prob: float = 0.1, rotate_range=0.0, scale_range=0.0,
                  translate_range=0.0, shear_range=0.0, mode: str = "bilinear",
-                 label_mode: Optional[str] = None, padding_mode: str = "zeros"):
+                 label_mode: Optional[str] = None,
+                 padding_mode: str = "reflection"):
         self.prob = prob
         # MONAI semantics: scalar range -> FIRST parameter only; sequences map
         # per parameter with scalar -> U(-r, r), pair -> U(a, b)
@@ -228,8 +274,9 @@ class RandAffineD(Transform):
         self.scale_range = _param_ranges(scale_range, 3)
         self.translate_range = _param_ranges(translate_range, 3)
         self.shear_range = _param_ranges(shear_range, 6)
-        self.mode = "trilinear" if mode == "bilinear" else mode
-        self.label_mode = label_mode or self.mode
+        self.mode, self.label_mode = _mode_pair(mode, label_mode, "RandAffineD")
+        # MONAI RandAffined defaults to reflection padding
+        self.padding_mode = _check_padding_mode(padding_mode, "RandAffineD")
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
@@ -248,7 +295,8 @@ class RandAffineD(Transform):
         fwd = _rotation_matrix(angles) @ shear @ np.diag(scales)
         transform = _center_transform(np.linalg.inv(fwd), image.shape[-3:])
         transform[:3, 3] -= np.asarray(trans)
-        return _apply_spatial(image, label, transform, self.mode, self.label_mode)
+        return _apply_spatial(image, label, transform, self.mode, self.label_mode,
+                              padding_mode=self.padding_mode)
 
 
 class RandScaleIntensityD(Transform):
@@ -256,8 +304,7 @@ class RandScaleIntensityD(Transform):
 
     def __init__(self, prob: float = 0.1, factors=0.1):
         self.prob = prob
-        self.factors = (-factors, factors) if isinstance(factors, (int, float)) \
-            else tuple(factors)
+        self.factors = _intensity_range(factors, "RandScaleIntensityD.factors")
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
@@ -271,8 +318,7 @@ class RandShiftIntensityD(Transform):
 
     def __init__(self, prob: float = 0.1, offsets=0.1):
         self.prob = prob
-        self.offsets = (-offsets, offsets) if isinstance(offsets, (int, float)) \
-            else tuple(offsets)
+        self.offsets = _intensity_range(offsets, "RandShiftIntensityD.offsets")
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
@@ -510,13 +556,20 @@ class RandGaussianSharpenD(Transform):
 
         self.sigma1 = tuple(rng_range(v) for v in (sigma1_x, sigma1_y, sigma1_z))
         self.sigma2 = tuple(rng_range(v) for v in (sigma2_x, sigma2_y, sigma2_z))
+        # MONAI: a SCALAR sigma2 component x is not fixed — it samples
+        # U(x, sampled_sigma1) per axis ("randomly select from [X, sigma1_x]")
+        self.sigma2_from_s1 = tuple(isinstance(v, (int, float))
+                                    for v in (sigma2_x, sigma2_y, sigma2_z))
         self.alpha = rng_range(alpha)
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
         s1 = [rng.uniform(lo, hi) if hi > lo else lo for lo, hi in self.sigma1]
-        s2 = [rng.uniform(lo, hi) if hi > lo else lo for lo, hi in self.sigma2]
+        s2 = [rng.uniform(lo, hi if not scalar else s1_i)
+              if (hi if not scalar else s1_i) > lo else lo
+              for (lo, hi), scalar, s1_i
+              in zip(self.sigma2, self.sigma2_from_s1, s1)]
         alpha = rng.uniform(*self.alpha)
         b1 = separable_gaussian_blur(image, s1)
         b2 = separable_gaussian_blur(b1, s2)
@@ -707,15 +760,19 @@ class Rand3DElasticD(Transform):
         self.sigma_range = tuple(float(v) for v in sigma_range)
         self.magnitude_range = tuple(float(v) for v in magnitude_range)
         self.prob = prob
-        self.mode = "trilinear" if mode == "bilinear" else mode
-        self.label_mode = label_mode or "nearest"
+        if isinstance(mode, (list, tuple)):  # MONAI per-key mode sequence
+            self.mode, self.label_mode = _mode_pair(mode, label_mode,
+                                                    "Rand3DElasticD")
+        else:
+            self.mode = "trilinear" if mode == "bilinear" else mode
+            self.label_mode = label_mode or "nearest"
 
     def __call__(self, rng, image, label):
         from unet3d_tpu.ops.resample import sample_at_coords
 
         if rng.rand() >= self.prob:
             return image, label
-        spatial = np.asarray(image).shape[-3:]
+        spatial = tuple(image.shape[-3:])  # metadata only: never materialize a device array
         sigma = rng.uniform(*self.sigma_range)
         magnitude = rng.uniform(*self.magnitude_range)
 
@@ -756,7 +813,7 @@ class CenterSpatialCropD(Transform):
                          else [int(v) for v in roi_size])
 
     def __call__(self, rng, image, label):
-        spatial = np.asarray(image).shape[-3:]
+        spatial = tuple(image.shape[-3:])  # metadata only: never materialize a device array
         slices = [slice(None)]
         for size, extent in zip(self.roi_size, spatial):
             if size < 0 or size >= extent:

@@ -102,15 +102,19 @@ def _dst_voxel_grid(dst_shape) -> jnp.ndarray:
     return jnp.stack([gz, gy, gx])
 
 
-@partial(jax.jit, static_argnames=("dst_shape", "mode"))
+@partial(jax.jit, static_argnames=("dst_shape", "mode", "reflect"))
 def resample_transform(data: jnp.ndarray, transform: jnp.ndarray, dst_shape: tuple,
-                       mode: str = "trilinear", clip_max=None) -> jnp.ndarray:
+                       mode: str = "trilinear", clip_max=None,
+                       reflect: bool = False) -> jnp.ndarray:
     """Resample with a 4x4 dst-voxel -> src-voxel ``transform``.
 
     ``transform`` may be a traced array (one compilation serves all affines of a
     given shape pair). ``clip_max`` (traced, shape (3,)) clamps source
     coordinates to [0, clip_max] per axis — used by the bucketed resize, where
-    the physical extent is smaller than the padded array.
+    the physical extent is smaller than the padded array. ``reflect`` folds
+    out-of-volume coordinates back by mirroring about the border voxel centers
+    (torch grid_sample ``padding_mode="reflection"`` with align_corners=True —
+    the MONAI RandAffined default).
     """
     grid = _dst_voxel_grid(dst_shape)  # (3, D, H, W)
     rot = transform[:3, :3].astype(jnp.float32)
@@ -121,6 +125,13 @@ def resample_transform(data: jnp.ndarray, transform: jnp.ndarray, dst_shape: tup
         rot[i, 0] * grid[0] + rot[i, 1] * grid[1] + rot[i, 2] * grid[2] + trans[i]
         for i in range(3)
     ])
+    if reflect:
+        # fold c into [0, L] with period 2L: r = L - |mod(c, 2L) - L|
+        last = jnp.asarray([max(s - 1, 0) for s in data.shape[-3:]],
+                           jnp.float32)[:, None, None, None]
+        period = jnp.maximum(2.0 * last, 1.0)  # L=0 axes: coords clip to 0
+        coords = last - jnp.abs(jnp.mod(coords, period) - last)
+        coords = jnp.clip(coords, 0.0, last)
     if clip_max is not None:
         clip_max = jnp.asarray(clip_max, jnp.float32)
         coords = jnp.clip(coords, 0.0, clip_max[:, None, None, None])

@@ -155,15 +155,23 @@ class FocalLoss:
         pred = _f32(pred)
         pred, target = _drop_background(pred, target, self.include_background)
         target = target.astype(pred.dtype)
+        alpha = self.alpha
         if self.use_softmax:
+            if not self.include_background and alpha is not None:
+                # MONAI nulls alpha here with a warning: after the background
+                # drop the 1-alpha factor would mislabel a foreground channel
+                import warnings
+                warnings.warn("FocalLoss: `include_background=False`, `alpha` "
+                              "ignored when using softmax (MONAI semantics).")
+                alpha = None
             logp = jax.nn.log_softmax(pred, axis=-1)
             p = jnp.exp(logp)
             loss = -target * ((1 - p) ** self.gamma) * logp
-            if self.alpha is not None:
+            if alpha is not None:
                 # MONAI weights the first (background) channel by 1-alpha and
                 # the rest by alpha (monai FocalLoss softmax_focal_loss).
                 n = pred.shape[-1]
-                alpha_fac = jnp.asarray([1 - self.alpha] + [self.alpha] * (n - 1),
+                alpha_fac = jnp.asarray([1 - alpha] + [alpha] * (n - 1),
                                         dtype=pred.dtype)
                 loss = alpha_fac * loss
         else:
@@ -176,6 +184,16 @@ class FocalLoss:
             if self.alpha is not None:
                 alpha_t = self.alpha * target + (1 - self.alpha) * (1 - target)
                 loss = alpha_t * loss
+        if self.weight is not None:
+            # MONAI per-class weight, broadcast over the channel axis; a
+            # sequence must match the post-background-drop channel count
+            w = jnp.atleast_1d(jnp.asarray(self.weight, dtype=pred.dtype))
+            if w.ndim != 1 or (w.shape[0] not in (1, pred.shape[-1])):
+                raise ValueError(
+                    f"FocalLoss weight has {w.shape[0]} entries for "
+                    f"{pred.shape[-1]} classes (include_background="
+                    f"{self.include_background})")
+            loss = w * loss
         if self.reduction == "none":
             return loss
         if self.reduction == "sum":
@@ -201,7 +219,12 @@ class DiceCELoss:
         dice = self.dice(pred, target)
         pred = _f32(pred)
         target_f = target.astype(pred.dtype)
-        if self.sigmoid or pred.shape[-1] == 1:
+        # MONAI routes the CE leg on CHANNEL COUNT alone (forward:
+        # `self.ce(input, target) if input.shape[1] != 1 else self.bce(...)`);
+        # the sigmoid/softmax flags shape only the Dice leg. torch
+        # CrossEntropyLoss with probability targets is exactly
+        # -mean(sum(t * log_softmax)).
+        if pred.shape[-1] == 1:
             ce = jnp.mean(jax.nn.softplus(-pred) * target_f
                           + jax.nn.softplus(pred) * (1.0 - target_f))
         else:
