@@ -162,6 +162,44 @@ def test_inferer_caches_compiled_program_across_calls():
                                rtol=1e-6)
 
 
+def test_padding_mode_replicate_matches_torch_pad_semantics():
+    """MONAI pads a smaller-than-roi volume with the configured padding_mode
+    (torch F.pad names). 'replicate' must edge-pad, not zero-pad — with an
+    identity network the interior reconstruction is identical, but a mean
+    network sees the padding: replicate-padding a constant volume keeps the
+    window mean exactly equal to that constant, zero-padding drags it down."""
+    x = jnp.full((1, 6, 6, 6, 1), 5.0, jnp.float32)
+
+    def network(p):
+        return jnp.broadcast_to(jnp.mean(p, axis=(1, 2, 3), keepdims=True),
+                                p.shape)
+
+    rep = sliding_window_inference(x, network, roi_size=(8, 8, 8),
+                                   padding_mode="replicate")
+    np.testing.assert_allclose(np.asarray(rep), 5.0, rtol=1e-6)
+    con = sliding_window_inference(x, network, roi_size=(8, 8, 8),
+                                   padding_mode="constant", cval=0.0)
+    assert float(np.asarray(con).max()) < 5.0  # zeros diluted the mean
+    # reflect/circular accepted; unknown names rejected with the valid list
+    sliding_window_inference(x, lambda p: p, roi_size=(8, 8, 8),
+                             padding_mode="reflect")
+    with pytest.raises(ValueError, match="padding_mode"):
+        sliding_window_inference(x, lambda p: p, roi_size=(8, 8, 8),
+                                 padding_mode="edge")
+
+
+def test_inferer_forwards_padding_mode():
+    x = jnp.full((1, 6, 6, 6, 1), 3.0, jnp.float32)
+
+    def network(p):
+        return jnp.broadcast_to(jnp.mean(p, axis=(1, 2, 3), keepdims=True),
+                                p.shape)
+
+    inferer = SlidingWindowInferer(roi_size=(8, 8, 8),
+                                   padding_mode="replicate")
+    np.testing.assert_allclose(np.asarray(inferer(x, network)), 3.0, rtol=1e-6)
+
+
 def test_grid_padding_does_not_bias_blend():
     """When n_patches % sw_batch_size != 0 the grid pads by repeating the last
     window; padded entries must be masked out of the blend, not double-counted.

@@ -99,7 +99,8 @@ class SlidingWindowInferer:
             return sliding_window_inference(
                 inputs, network, roi_size=self.roi_size,
                 sw_batch_size=self.sw_batch_size, overlap=self.overlap,
-                mode=self.mode, sigma_scale=self.sigma_scale, cval=self.cval)
+                mode=self.mode, sigma_scale=self.sigma_scale,
+                padding_mode=self.padding_mode, cval=self.cval)
         key = id(network)
         if key in self._jitted:
             self._jitted.move_to_end(key)
@@ -108,7 +109,8 @@ class SlidingWindowInferer:
                 return sliding_window_inference(
                     x, _network, roi_size=self.roi_size,
                     sw_batch_size=self.sw_batch_size, overlap=self.overlap,
-                    mode=self.mode, sigma_scale=self.sigma_scale, cval=self.cval)
+                    mode=self.mode, sigma_scale=self.sigma_scale,
+                    padding_mode=self.padding_mode, cval=self.cval)
             # hold a strong ref to network so id() can't be recycled
             from unet3d_tpu.train.step import tpu_compiler_options
             self._jitted[key] = (
@@ -125,13 +127,24 @@ class SimpleInferer:
         return network(inputs)
 
 
+# torch F.pad mode names (monai PytorchPadMode) -> jnp.pad modes
+_PAD_MODES = {"constant": "constant", "reflect": "reflect",
+              "replicate": "edge", "circular": "wrap"}
+
+
 def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
                              roi_size: Sequence[int], sw_batch_size: int = 1,
                              overlap: float = 0.25, mode: str = "constant",
-                             sigma_scale: float = 0.125, cval: float = 0.0) -> jnp.ndarray:
+                             sigma_scale: float = 0.125,
+                             padding_mode: str = "constant",
+                             cval: float = 0.0) -> jnp.ndarray:
     """Batched scan over the dense patch grid with overlap blending (NDHWC)."""
     batch, *spatial, channels = inputs.shape
     roi_size = tuple(int(r) for r in roi_size)
+    if padding_mode not in _PAD_MODES:
+        raise ValueError(
+            f"padding_mode {padding_mode!r} is not supported; "
+            f"expected one of {sorted(_PAD_MODES)} (torch F.pad names)")
     # pad up to roi where the volume is smaller
     pads = [(0, 0)]
     padded_spatial = []
@@ -141,7 +154,11 @@ def sliding_window_inference(inputs: jnp.ndarray, network: Callable,
         padded_spatial.append(s + pad)
     pads.append((0, 0))
     if any(p != (0, 0) for p in pads):
-        inputs = jnp.pad(inputs, pads, constant_values=cval)
+        jnp_mode = _PAD_MODES[padding_mode]
+        if jnp_mode == "constant":
+            inputs = jnp.pad(inputs, pads, constant_values=cval)
+        else:
+            inputs = jnp.pad(inputs, pads, mode=jnp_mode)
 
     interval = _scan_interval(padded_spatial, roi_size, overlap)
     starts = dense_patch_slices(padded_spatial, roi_size, interval)  # (P, 3)
