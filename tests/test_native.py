@@ -53,3 +53,22 @@ def test_native_4d(tmp_path):
     result = native.load_nifti(fn)
     assert result is not None
     np.testing.assert_allclose(result[0], data)
+
+
+def test_native_scl_scaling_parity(tmp_path):
+    """scl_slope/scl_inter applied identically to the Python codec, including
+    the sanitized non-finite intercept (malformed-header) case."""
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    for slope, inter in ((2.0, 5.0), (float("nan"), 5.0),
+                         (2.0, float("nan")), (0.0, 3.0)):
+        fn = str(tmp_path / f"scl_{slope}_{inter}.nii")
+        nifti.save(fn, data, np.eye(4))
+        with open(fn, "r+b") as f:
+            f.seek(112)
+            f.write(struct.pack("<2f", slope, inter))
+        d_py, _, _ = nifti.load(fn, prefer_native=False)
+        d_c, _, _ = nifti.load(fn, prefer_native=True)
+        assert np.isfinite(np.asarray(d_c)).all()
+        np.testing.assert_array_equal(np.asarray(d_py), np.asarray(d_c))

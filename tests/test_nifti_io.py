@@ -119,3 +119,44 @@ def test_halfsize_roundtrip():
 def test_axcodes_validation():
     with pytest.raises(ValueError):
         axcodes_to_orientation("RASX")
+
+
+def _write_with_scl(tmp_path, slope, inter):
+    """Save a plain int16 volume then patch scl_slope/scl_inter (offsets
+    112/116 in the NIfTI-1 header) — nifti.save always writes (1, 0)."""
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    fn = str(tmp_path / "scl.nii")  # uncompressed: patch bytes in place
+    nifti.save(fn, data, np.eye(4))
+    with open(fn, "r+b") as f:
+        f.seek(112)
+        f.write(struct.pack("<2f", slope, inter))
+    return fn, data
+
+
+def test_scl_slope_inter_applied(tmp_path):
+    fn, raw = _write_with_scl(tmp_path, 2.0, 5.0)
+    out, _, hdr = nifti.load(fn)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, raw.astype(np.float32) * 2.0 + 5.0)
+    unscaled, _, _ = nifti.load(fn, scale=False)
+    np.testing.assert_array_equal(unscaled, raw)
+
+
+def test_scl_nan_slope_means_no_scaling(tmp_path):
+    fn, raw = _write_with_scl(tmp_path, float("nan"), 5.0)
+    out, _, _ = nifti.load(fn)
+    np.testing.assert_array_equal(out, raw)
+    fn, raw = _write_with_scl(tmp_path, 0.0, 5.0)
+    out, _, _ = nifti.load(fn)
+    np.testing.assert_array_equal(out, raw)
+
+
+def test_scl_nan_inter_sanitized_not_propagated(tmp_path):
+    """A valid slope with a non-finite intercept is a malformed header
+    (nibabel refuses to read it); the codec must not NaN every voxel."""
+    fn, raw = _write_with_scl(tmp_path, 2.0, float("nan"))
+    out, _, _ = nifti.load(fn)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(out, raw.astype(np.float32) * 2.0)

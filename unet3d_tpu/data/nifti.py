@@ -195,12 +195,15 @@ def load(filename: str, scale: bool = True, prefer_native: bool = False
     data = data.reshape(shape, order="F")
     if data.dtype.byteorder not in ("=", "|") and hdr.endian == ">":
         data = data.astype(data.dtype.newbyteorder("="))
-    # NaN/inf slope or inter = "no scaling" (nibabel get_slope_inter)
+    # NaN/inf slope = "no scaling" (nibabel get_slope_inter). A valid slope
+    # with a non-finite intercept is a malformed header nibabel refuses to
+    # read; sanitize to 0 instead of multiplying NaN into every voxel.
+    inter = hdr.scl_inter if np.isfinite(hdr.scl_inter) else 0.0
     slope_ok = np.isfinite(hdr.scl_slope) and hdr.scl_slope not in (0.0, 1.0)
-    inter_ok = (np.isfinite(hdr.scl_inter) and hdr.scl_inter != 0.0
+    inter_ok = (inter != 0.0
                 and np.isfinite(hdr.scl_slope) and hdr.scl_slope != 0.0)
     if scale and (slope_ok or inter_ok):
-        data = data.astype(np.float32) * hdr.scl_slope + hdr.scl_inter
+        data = data.astype(np.float32) * hdr.scl_slope + inter
     return np.asarray(data), header_affine(hdr), hdr
 
 

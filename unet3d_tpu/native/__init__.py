@@ -104,9 +104,12 @@ def load_nifti(filename: str, scale: bool = True
         data = flat.view(dtype).reshape(shape, order="F")
         slope = lib.nifti_scl_slope(handle)
         inter = lib.nifti_scl_inter(handle)
-        # NaN/inf slope or inter = "no scaling" (nibabel get_slope_inter)
+        # NaN/inf slope = "no scaling" (nibabel get_slope_inter); a non-finite
+        # intercept is sanitized to 0 rather than NaN-ing every voxel
+        # (data/nifti.py applies the same rule)
+        inter = inter if np.isfinite(inter) else 0.0
         slope_ok = np.isfinite(slope) and slope not in (0.0, 1.0)
-        inter_ok = (np.isfinite(inter) and inter != 0.0
+        inter_ok = (inter != 0.0
                     and np.isfinite(slope) and slope != 0.0)
         if scale and (slope_ok or inter_ok):
             data = data.astype(np.float32) * slope + inter
