@@ -437,3 +437,25 @@ def test_rand_affine_padding_mode_border_and_zeros():
     assert float(np.asarray(r).min()) > 6.9  # constant volume reflects to itself
     with pytest.raises(ValueError, match="padding_mode"):
         RandAffineD(prob=1.0, padding_mode="wrap")
+
+
+def test_gibbs_binary_lowpass_mask_semantics():
+    """MONAI GibbsNoise truncates k-space with a BINARY mask of radius
+    (1-alpha)*max(shape)*sqrt(2)/2 around the center (GibbsNoise._apply_mask)
+    — not a smooth attenuation. alpha=1 keeps nothing (output ~0 on an
+    even-shaped image where no voxel sits exactly at the k-space center);
+    alpha in [0,1] is validated."""
+    img, _ = _sample()
+    t = build_transform({"name": "RandGibbsNoiseD", "prob": 1.0,
+                         "alpha": (1.0, 1.0)})
+    out, _ = t(np.random.RandomState(0), img, None)
+    assert float(np.abs(np.asarray(out)).max()) < 1e-4
+    # moderate alpha: a low-pass truncation preserves the image mean (DC term)
+    t = build_transform({"name": "RandGibbsNoiseD", "prob": 1.0,
+                         "alpha": (0.6, 0.6)})
+    out, _ = t(np.random.RandomState(1), img, None)
+    assert not np.allclose(np.asarray(out), img)
+    np.testing.assert_allclose(float(np.asarray(out).mean()),
+                               float(np.asarray(img).mean()), rtol=1e-3)
+    with pytest.raises(ValueError, match="alpha"):
+        build_transform({"name": "RandGibbsNoiseD", "alpha": (0.0, 1.5)})

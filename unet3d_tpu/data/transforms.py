@@ -705,14 +705,19 @@ class RandRicianNoiseD(Transform):
 
 
 class RandGibbsNoiseD(Transform):
-    """MONAI RandGibbsNoised: Gibbs/truncation ringing — attenuate k-space by
-    ``exp(-alpha * r^2)`` (r = normalized distance from the k-space center),
-    alpha ~ U(alpha range). alpha=0 is identity; larger alpha rings harder."""
+    """MONAI RandGibbsNoised: Gibbs/truncation ringing via a hard binary
+    low-pass mask in shifted k-space — keep frequencies within radius
+    ``(1 - alpha) * max(shape) * sqrt(2) / 2`` of the center (MONAI
+    ``GibbsNoise._apply_mask``), alpha ~ U(alpha range) in [0, 1]. alpha=0
+    keeps everything (identity); alpha=1 truncates all of k-space."""
 
     def __init__(self, prob: float = 0.1, alpha=(0.0, 1.0)):
         self.prob = prob
         a = ((0.0, float(alpha)) if isinstance(alpha, (int, float))
              else tuple(float(v) for v in alpha))
+        if not (0.0 <= a[0] <= 1.0 and 0.0 <= a[1] <= 1.0):
+            raise ValueError(
+                f"RandGibbsNoiseD alpha must lie in [0, 1], got {a}")
         self.alpha = a
 
     def __call__(self, rng, image, label):
@@ -721,13 +726,15 @@ class RandGibbsNoiseD(Transform):
         alpha = rng.uniform(*self.alpha)
         img = jnp.asarray(image)
         spatial = img.shape[-3:]
-        grids = []
-        for s in spatial:
-            g = (np.arange(s, dtype=np.float32) - s // 2) / max(s // 2, 1)
-            grids.append(g)
-        gz, gy, gx = np.meshgrid(*grids, indexing="ij")
-        mask = jnp.asarray(np.exp(-alpha * (gz ** 2 + gy ** 2 + gx ** 2))
-                           .astype(np.float32))
+        if alpha <= 0.0:
+            return img, label  # radius covers all of k-space: identity
+        center = [(s - 1) / 2.0 for s in spatial]
+        radius = (1.0 - alpha) * max(spatial) * np.sqrt(2.0) / 2.0
+        grids = [(np.arange(s, dtype=np.float32) - c) ** 2
+                 for s, c in zip(spatial, center)]
+        dist_sq = (grids[0][:, None, None] + grids[1][None, :, None]
+                   + grids[2][None, None, :])
+        mask = jnp.asarray((dist_sq <= radius * radius).astype(np.float32))
         k = jnp.fft.fftshift(jnp.fft.fftn(img, axes=(-3, -2, -1)),
                              axes=(-3, -2, -1))
         k = k * mask
