@@ -222,3 +222,27 @@ def test_grid_padding_does_not_bias_blend():
                                    sw_batch_size=3, overlap=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_predictions_with_tta_flip_averaging():
+    """Flip-averaging TTA: identity network is a fixed point; for an
+    asymmetric network the result equals the hand-computed average of
+    un-flipped outputs (framework extension; the reference's SPPIN container
+    averages fold models instead, examples/sppin/process.py:242-263)."""
+    from unet3d_tpu.predict.volumetric import predictions_with_tta
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 6, 6, 6, 1), jnp.float32)
+    out = predictions_with_tta(None, None, x, forward=lambda z: z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+
+    def zero_front(z):  # zero the first half of the D axis
+        mask = (jnp.arange(z.shape[1]) >= z.shape[1] // 2).astype(z.dtype)
+        return z * mask[None, :, None, None, None]
+
+    out = predictions_with_tta(None, None, x, forward=zero_front,
+                               flip_axes=((1,),))
+    xn = np.asarray(x)
+    plain = np.asarray(zero_front(jnp.asarray(xn)))
+    flipped = np.asarray(zero_front(jnp.asarray(xn[:, ::-1])))[:, ::-1]
+    np.testing.assert_allclose(np.asarray(out), (plain + flipped) / 2.0,
+                               rtol=1e-6)
