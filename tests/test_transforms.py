@@ -459,3 +459,31 @@ def test_gibbs_binary_lowpass_mask_semantics():
                                float(np.asarray(img).mean()), rtol=1e-3)
     with pytest.raises(ValueError, match="alpha"):
         build_transform({"name": "RandGibbsNoiseD", "alpha": (0.0, 1.5)})
+
+
+def test_bias_field_matches_monai_polygrid3d():
+    """MONAI RandBiasField builds exp(polygrid3d(coords, coeff_mat)) with
+    monomial exponents enumerated i-major (i+j+k <= degree) and ONE uniform
+    draw for the coefficient vector (_generate_random_field). Replicate that
+    exactly with numpy.polynomial and the same RandomState draws."""
+    img, _ = _sample()
+    degree, rng_seed = 3, 7
+    t = build_transform({"name": "RandBiasFieldD", "prob": 1.0,
+                         "degree": degree, "coeff_range": (0.0, 0.1)})
+    out, _ = t(np.random.RandomState(rng_seed), img, None)
+
+    ref_rng = np.random.RandomState(rng_seed)
+    assert ref_rng.rand() < 1.0  # the prob gate consumes one draw
+    pts = [(i, j, k)
+           for i in range(degree + 1)
+           for j in range(degree + 1 - i)
+           for k in range(degree + 1 - i - j)]
+    coeff = ref_rng.uniform(0.0, 0.1, size=len(pts))
+    coeff_mat = np.zeros((degree + 1,) * 3)
+    for c, (i, j, k) in zip(coeff, pts):
+        coeff_mat[i, j, k] = c
+    shape = img.shape[-3:]
+    coords = [np.linspace(-1.0, 1.0, s, dtype=np.float32) for s in shape]
+    field = np.polynomial.polynomial.polygrid3d(*coords, coeff_mat)
+    expected = np.asarray(img) * np.exp(field)[None]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
