@@ -487,3 +487,31 @@ def test_bias_field_matches_monai_polygrid3d():
     field = np.polynomial.polynomial.polygrid3d(*coords, coeff_mat)
     expected = np.asarray(img) * np.exp(field)[None]
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4, atol=2e-5)
+
+
+def test_histogram_shift_matches_monai_control_point_algorithm():
+    """MONAI RandHistogramShift.randomize: n = randint(lo, hi+1) control
+    points over linspace(0,1,n); each interior floating point is redrawn as
+    U(floating[i-1], reference[i+1]); apply() linearly interpolates between
+    the point sets scaled to the image range. Replicate with the same
+    RandomState and assert exact agreement (modulo f32)."""
+    img, _ = _sample()
+    seed = 11
+    t = build_transform({"name": "RandHistogramShiftD", "prob": 1.0,
+                         "num_control_points": (5, 8)})
+    out, _ = t(np.random.RandomState(seed), img, None)
+
+    ref_rng = np.random.RandomState(seed)
+    assert ref_rng.rand() < 1.0  # prob gate draw
+    n = ref_rng.randint(5, 9)
+    reference = np.linspace(0.0, 1.0, n)
+    floating = reference.copy()
+    for i in range(1, n - 1):
+        floating[i] = ref_rng.uniform(floating[i - 1], reference[i + 1])
+    imgn = np.asarray(img, np.float32)
+    vmin, vmax = imgn.min(), imgn.max()
+    scale = vmax - vmin
+    expected = np.interp(imgn,
+                         reference.astype(np.float32) * scale + vmin,
+                         floating.astype(np.float32) * scale + vmin)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5, atol=2e-6)
