@@ -204,8 +204,10 @@ def test_gaussian_sharpen_formula():
                          "sigma2_x": (0.5, 0.5), "sigma2_y": (0.5, 0.5),
                          "sigma2_z": (0.5, 0.5), "alpha": (20.0, 20.0)})
     out, _ = t(np.random.RandomState(0), img, None)
-    b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0])
-    b2 = separable_gaussian_blur(b1, [0.5, 0.5, 0.5])
+    b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0], pad_mode="zero",
+                                 approx="erf")
+    b2 = separable_gaussian_blur(b1, [0.5, 0.5, 0.5], pad_mode="zero",
+                                 approx="erf")
     expected = b1 + 20.0 * (b1 - b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-4)
 
@@ -225,8 +227,10 @@ def test_gaussian_sharpen_scalar_sigma2_samples_up_to_sigma1():
     out, _ = t(rng, img, None)
     fixed_rng = np.random.RandomState(3)
     fixed_rng.rand()  # the prob gate draw
-    b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0])
-    b2_fixed = separable_gaussian_blur(b1, [0.5, 0.5, 0.5])
+    b1 = separable_gaussian_blur(img, [1.0, 1.0, 1.0], pad_mode="zero",
+                                 approx="erf")
+    b2_fixed = separable_gaussian_blur(b1, [0.5, 0.5, 0.5], pad_mode="zero",
+                                       approx="erf")
     fixed = b1 + 20.0 * (b1 - b2_fixed)
     assert not np.allclose(np.asarray(out), np.asarray(fixed), rtol=1e-4)
 
@@ -296,7 +300,8 @@ def test_std_shift_matches_formula():
     t = build_transform({"name": "RandStdShiftIntensityD", "prob": 1.0,
                          "factors": (0.5, 0.5)})
     out, _ = t(np.random.RandomState(0), img, None)
-    np.testing.assert_allclose(np.asarray(out), img + 0.5 * img.std(),
+    # MONAI's torch path uses the Bessel-corrected std (torch.std default)
+    np.testing.assert_allclose(np.asarray(out), img + 0.5 * img.std(ddof=1),
                                rtol=1e-5, atol=1e-5)
 
 

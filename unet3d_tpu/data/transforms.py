@@ -345,26 +345,59 @@ class RandGaussianNoiseD(Transform):
         return jnp.asarray(image) + jnp.asarray(noise), label
 
 
-def gaussian_kernel1d(sigma: float, truncated: float = 4.0) -> np.ndarray:
-    radius = max(int(truncated * sigma + 0.5), 1)
+def gaussian_kernel1d(sigma: float, truncated: float = 4.0,
+                      approx: str = "scipy") -> np.ndarray:
+    """1D gaussian kernel in one of three conventions.
+
+    - "scipy": pdf sampled at integer offsets, normalized to sum 1
+      (scipy ``gaussian_filter`` parity — the legacy reference paths,
+      `unet3d/utils/augment.py:414-419`).
+    - "erf": MONAI ``gaussian_1d(..., approx="erf", normalize=False)`` —
+      the voxel-integrated gaussian ``0.5*(erf(t(x+.5)) - erf(t(x-.5)))``
+      with ``t = 0.70710678/sigma``, clamped at 0 and NOT renormalized.
+      This is what ``monai.networks.layers.GaussianFilter`` (and hence
+      GaussianSmooth / GaussianSharpen / Rand3DElastic) actually applies.
+    - "sampled": MONAI ``approx="sampled"``: pdf / (2.5066282*sigma).
+    """
+    if approx == "scipy":
+        radius = max(int(truncated * sigma + 0.5), 1)
+        x = np.arange(-radius, radius + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (x / sigma) ** 2)
+        return (k / k.sum()).astype(np.float32)
+    # MONAI gaussian_1d tail: int(max(sigma * truncated, 0.5) + 0.5)
+    radius = int(max(float(sigma) * truncated, 0.5) + 0.5)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    return (k / k.sum()).astype(np.float32)
+    if approx == "erf":
+        from math import erf
+        t = 0.70710678 / abs(float(sigma))  # MONAI's f32 1/sqrt(2) constant
+        k = np.asarray([0.5 * (erf(t * (xi + 0.5)) - erf(t * (xi - 0.5)))
+                        for xi in x])
+        return np.clip(k, 0.0, None).astype(np.float32)
+    if approx == "sampled":
+        k = np.exp(-0.5 * (x / sigma) ** 2) / (2.5066282 * sigma)
+        return k.astype(np.float32)
+    raise ValueError(f"unknown gaussian kernel approx {approx!r} "
+                     "(supported: scipy, erf, sampled)")
 
 
 def separable_gaussian_blur(image: Array, sigmas: Sequence[float],
-                            pad_mode: str = "edge") -> Array:
+                            pad_mode: str = "edge", truncated: float = 4.0,
+                            approx: str = "scipy") -> Array:
     """Separable gaussian blur of a channel-first volume.
 
-    ``pad_mode``: "edge" (replicate, the MONAI GaussianSmooth analog) or
-    "zero" (scipy ``gaussian_filter(mode="constant")`` parity, used by the
-    elastic-deformation field).
+    ``pad_mode``: "edge" (replicate, scipy ``mode="nearest"``) or "zero"
+    (scipy ``mode="constant"`` / MONAI ``separable_filtering(mode="zeros")``).
+    MONAI's GaussianSmooth/GaussianSharpen equal
+    ``pad_mode="zero", approx="erf"``; Rand3DElastic's field smoothing
+    additionally uses ``truncated=3.0``
+    (monai Rand3DElastic: ``GaussianFilter(3, sigma, 3.0)``).
     """
     out = jnp.asarray(image, dtype=jnp.float32)
     for axis, sigma in enumerate(sigmas):
         if sigma <= 0:
             continue
-        k = jnp.asarray(gaussian_kernel1d(sigma))
+        k = jnp.asarray(gaussian_kernel1d(sigma, truncated=truncated,
+                                          approx=approx))
         r = (len(k) - 1) // 2
         ax = axis + 1
         pads = [(0, 0)] * out.ndim
@@ -381,36 +414,70 @@ def separable_gaussian_blur(image: Array, sigmas: Sequence[float],
 
 
 class RandGaussianSmoothD(Transform):
-    """MONAI RandGaussianSmoothd: per-axis sigma sampled uniformly."""
+    """MONAI RandGaussianSmoothd: per-axis sigma sampled uniformly, applied
+    via GaussianFilter — voxel-integrated (erf) kernel, zero padding."""
 
     def __init__(self, prob: float = 0.1, sigma_x=(0.25, 1.5), sigma_y=(0.25, 1.5),
-                 sigma_z=(0.25, 1.5)):
+                 sigma_z=(0.25, 1.5), approx: str = "erf"):
         self.prob = prob
         self.sigmas = (tuple(sigma_x), tuple(sigma_y), tuple(sigma_z))
+        self.approx = approx
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
         sigmas = [rng.uniform(lo, hi) for lo, hi in self.sigmas]
-        return separable_gaussian_blur(image, sigmas), label
+        return separable_gaussian_blur(image, sigmas, pad_mode="zero",
+                                       approx=self.approx), label
 
 
 class RandAdjustContrastD(Transform):
-    """MONAI RandAdjustContrastd: gamma correction with gamma ~ U(range)."""
+    """MONAI RandAdjustContrastd: gamma correction with gamma ~ U(range).
 
-    def __init__(self, prob: float = 0.1, gamma=(0.5, 4.5)):
+    MONAI AdjustContrast numerics:
+    ``((img - min) / (range + 1e-7)) ** gamma * range + min`` (the epsilon
+    guards only the division), with optional ``invert_image`` (negate before
+    and after) and ``retain_stats`` (restore the pre-gamma mean/std,
+    torch-unbiased) — the nnU-Net-style gamma augmentation options."""
+
+    def __init__(self, prob: float = 0.1, gamma=(0.5, 4.5),
+                 invert_image: bool = False, retain_stats: bool = False):
         self.prob = prob
-        self.gamma = (0.5, gamma) if isinstance(gamma, (int, float)) else tuple(gamma)
+        if isinstance(gamma, (int, float)):
+            if gamma <= 0.5:
+                raise ValueError(
+                    "RandAdjustContrastD: a scalar gamma must be > 0.5 "
+                    "(MONAI samples from (0.5, gamma))")
+            self.gamma = (0.5, float(gamma))
+        else:
+            self.gamma = tuple(float(g) for g in gamma)
+        self.invert_image = bool(invert_image)
+        self.retain_stats = bool(retain_stats)
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
         gamma = rng.uniform(*self.gamma)
         img = jnp.asarray(image, dtype=jnp.float32)
+        if self.invert_image:
+            img = -img
+        if self.retain_stats:
+            mean = jnp.mean(img)
+            n = img.size
+            std = jnp.sqrt(jnp.sum((img - mean) ** 2) / max(n - 1, 1))
         vmin = jnp.min(img)
         vrange = jnp.max(img) - vmin
         eps = 1e-7
-        return ((img - vmin) / (vrange + eps)) ** gamma * (vrange + eps) + vmin, label
+        out = ((img - vmin) / (vrange + eps)) ** gamma * vrange + vmin
+        if self.retain_stats:
+            out = out - jnp.mean(out)
+            out_std = jnp.sqrt(jnp.sum((out - jnp.mean(out)) ** 2)
+                               / max(out.size - 1, 1))
+            out = out / (out_std + 1e-8)
+            out = std * out + mean
+        if self.invert_image:
+            out = -out
+        return out, label
 
 
 class RandSpatialCropD(Transform):
@@ -423,14 +490,18 @@ class RandSpatialCropD(Transform):
     def __init__(self, roi_size: Sequence[int], random_size: bool = False):
         if random_size:
             raise NotImplementedError("random_size=True is not supported")
+        if isinstance(roi_size, (int, float)):
+            roi_size = (roi_size,) * 3
         self.roi_size = tuple(int(s) for s in roi_size)
 
     def __call__(self, rng, image, label):
         spatial = image.shape[-3:]
+        # MONAI fall_back_tuple: non-positive roi entries keep the full extent
+        roi = tuple(r if r > 0 else s for r, s in zip(self.roi_size, spatial))
         starts = [rng.randint(0, max(s - r, 0) + 1)
-                  for s, r in zip(spatial, self.roi_size)]
+                  for s, r in zip(spatial, roi)]
         slices = tuple(slice(st, st + min(r, s))
-                       for st, r, s in zip(starts, self.roi_size, spatial))
+                       for st, r, s in zip(starts, roi, spatial))
         image = image[(slice(None),) + slices]
         if label is not None:
             label = label[(slice(None),) + slices]
@@ -542,13 +613,15 @@ class RandHistogramShiftD(Transform):
 
 class RandGaussianSharpenD(Transform):
     """MONAI RandGaussianSharpend: unsharp mask with random sigmas/alpha —
-    out = b1 + alpha * (b1 - b2), b1 = blur(img, sigma1), b2 = blur(b1, sigma2)."""
+    out = b1 + alpha * (b1 - b2), b1 = blur(img, sigma1), b2 = blur(b1, sigma2);
+    blurs via GaussianFilter (erf kernel, zero padding)."""
 
     def __init__(self, prob: float = 0.1,
                  sigma1_x=(0.5, 1.0), sigma1_y=(0.5, 1.0), sigma1_z=(0.5, 1.0),
                  sigma2_x=0.5, sigma2_y=0.5, sigma2_z=0.5,
-                 alpha=(10.0, 30.0)):
+                 alpha=(10.0, 30.0), approx: str = "erf"):
         self.prob = prob
+        self.approx = approx
 
         def rng_range(v):
             return (float(v), float(v)) if isinstance(v, (int, float)) \
@@ -571,8 +644,10 @@ class RandGaussianSharpenD(Transform):
               for (lo, hi), scalar, s1_i
               in zip(self.sigma2, self.sigma2_from_s1, s1)]
         alpha = rng.uniform(*self.alpha)
-        b1 = separable_gaussian_blur(image, s1)
-        b2 = separable_gaussian_blur(b1, s2)
+        b1 = separable_gaussian_blur(image, s1, pad_mode="zero",
+                                     approx=self.approx)
+        b2 = separable_gaussian_blur(b1, s2, pad_mode="zero",
+                                     approx=self.approx)
         return b1 + alpha * (b1 - b2), label
 
 
@@ -649,26 +724,39 @@ class RandCoarseDropoutD(Transform):
 
 class RandStdShiftIntensityD(Transform):
     """MONAI RandStdShiftIntensityd: v + factor * std(v), factor ~ U(factors)
-    (scalar f -> U(-f, f))."""
+    (scalar f -> U(-f, f)).
 
-    def __init__(self, factors=0.1, prob: float = 0.1, nonzero: bool = False):
+    MONAI's torch path computes ``torch.std`` — Bessel-corrected (n-1)
+    denominator — over the nonzero slice when ``nonzero``; the shift applies
+    only to the sliced voxels. ``channel_wise`` repeats that per channel with
+    the single drawn factor."""
+
+    def __init__(self, factors=0.1, prob: float = 0.1, nonzero: bool = False,
+                 channel_wise: bool = False):
         self.factors = _range_pair(factors)
         self.prob = prob
         self.nonzero = nonzero
+        self.channel_wise = channel_wise
+
+    def _shift(self, img, factor):
+        mask = (img != 0) if self.nonzero else jnp.ones(img.shape, bool)
+        n = jnp.sum(mask)
+        mean = jnp.sum(jnp.where(mask, img, 0.0)) / jnp.maximum(n, 1)
+        var = jnp.sum(jnp.where(mask, (img - mean) ** 2, 0.0)) \
+            / jnp.maximum(n - 1, 1)  # torch.std: unbiased
+        offset = factor * jnp.sqrt(var)
+        # MONAI: img[slices] = img[slices] + offset; no-op when the slice is empty
+        return jnp.where(mask & (n > 0), img + offset, img)
 
     def __call__(self, rng, image, label):
         if rng.rand() >= self.prob:
             return image, label
         factor = rng.uniform(*self.factors)
         img = jnp.asarray(image)
-        if self.nonzero:
-            mask = img != 0
-            n = jnp.maximum(jnp.sum(mask), 1)
-            mean = jnp.sum(jnp.where(mask, img, 0.0)) / n
-            var = jnp.sum(jnp.where(mask, (img - mean) ** 2, 0.0)) / n
-            std = jnp.sqrt(var)
-            return jnp.where(mask, img + factor * std, img), label
-        return img + factor * jnp.std(img), label
+        if self.channel_wise:
+            return jnp.stack([self._shift(img[c], factor)
+                              for c in range(img.shape[0])]), label
+        return self._shift(img, factor), label
 
 
 class RandRicianNoiseD(Transform):
@@ -785,9 +873,12 @@ class Rand3DElasticD(Transform):
 
         def offsets():
             field = (rng.rand(*spatial).astype(np.float32) * 2.0 - 1.0)
+            # MONAI Rand3DElastic: GaussianFilter(3, sigma, truncated=3.0)
+            # (erf kernel, zero padding) smooths the uniform offset field
             sm = separable_gaussian_blur(jnp.asarray(field[None]),
                                          (sigma, sigma, sigma),
-                                         pad_mode="zero")[0]
+                                         pad_mode="zero", truncated=3.0,
+                                         approx="erf")[0]
             # MONAI scales the smoothed field by magnitude directly (the
             # sigma-amplitude coupling is left to the user's ranges)
             return sm * magnitude
