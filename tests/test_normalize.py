@@ -1,5 +1,6 @@
 """Normalization menu tests (`unet3d/utils/normalize.py` semantics)."""
 import numpy as np
+import pytest
 
 from unet3d_tpu.ops import normalize as nm
 
@@ -99,3 +100,113 @@ def test_hist_match_distribution():
     flat_out = out.ravel()
     idx = np.argsort(flat_src)
     assert (np.diff(flat_out[idx]) >= -1e-5).all()
+
+
+# ---------------------------------------------------------------- MONAI scale
+# numpy replicas of monai.transforms intensity normalizers (MONAI is not
+# installable here); the reference resolves these by name through
+# monai.transforms (`unet3d/datasets/segmentation.py:80-87`).
+
+def _monai_rescale_array(arr, minv, maxv):
+    mina, maxa = arr.min(), arr.max()
+    if mina == maxa:
+        return arr * minv
+    norm = (arr - mina) / (maxa - mina)
+    return norm * (maxv - minv) + minv
+
+
+def test_scale_intensity_matches_monai():
+    from unet3d_tpu.ops.normalize import scale_intensity
+    rng = np.random.RandomState(0)
+    vol = (rng.rand(2, 5, 6, 7).astype(np.float32) * 9.0 - 3.0)
+    out = np.asarray(scale_intensity(vol, minv=-1.0, maxv=2.0))
+    np.testing.assert_allclose(out, _monai_rescale_array(vol, -1.0, 2.0),
+                               rtol=1e-6, atol=1e-6)
+    # channel_wise rescales each channel independently
+    out_cw = np.asarray(scale_intensity(vol, minv=0.0, maxv=1.0,
+                                        channel_wise=True))
+    ref_cw = np.stack([_monai_rescale_array(vol[c], 0.0, 1.0)
+                       for c in range(2)])
+    np.testing.assert_allclose(out_cw, ref_cw, rtol=1e-6, atol=1e-6)
+    # factor form: x * (1 + factor)
+    out_f = np.asarray(scale_intensity(vol, minv=None, maxv=None, factor=0.25))
+    np.testing.assert_allclose(out_f, vol * 1.25, rtol=1e-6)
+    # degenerate constant array maps to arr * minv
+    const = np.full((1, 4, 4, 4), 3.0, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(scale_intensity(const, minv=0.5, maxv=1.0)), const * 0.5)
+
+
+def test_scale_intensity_range_matches_monai():
+    from unet3d_tpu.ops.normalize import scale_intensity_range
+    rng = np.random.RandomState(1)
+    vol = (rng.rand(1, 6, 6, 6).astype(np.float32) * 2000.0 - 1000.0)
+    # CT windowing style: [-57, 164] HU -> [0, 1], clipped
+    out = np.asarray(scale_intensity_range(vol, a_min=-57.0, a_max=164.0,
+                                           b_min=0.0, b_max=1.0, clip=True))
+    ref = (vol - (-57.0)) / (164.0 - (-57.0))
+    ref = np.clip(ref * 1.0 + 0.0, 0.0, 1.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # no output range: just the affine map to [0, 1] of the input window
+    out2 = np.asarray(scale_intensity_range(vol, a_min=0.0, a_max=100.0))
+    np.testing.assert_allclose(out2, vol / 100.0, rtol=1e-5, atol=1e-6)
+
+
+def test_scale_intensity_range_percentiles_matches_monai():
+    from unet3d_tpu.ops.normalize import scale_intensity_range_percentiles
+    rng = np.random.RandomState(2)
+    vol = rng.rand(2, 6, 6, 6).astype(np.float32) * 50.0
+    lower, upper = 5.0, 95.0
+    out = np.asarray(scale_intensity_range_percentiles(
+        vol, lower=lower, upper=upper, b_min=0.0, b_max=1.0, clip=True))
+    a_min = np.percentile(vol, lower)
+    a_max = np.percentile(vol, upper)
+    ref = np.clip((vol - a_min) / (a_max - a_min), 0.0, 1.0)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    # relative mode rescales the output window to the percentile span
+    out_rel = np.asarray(scale_intensity_range_percentiles(
+        vol, lower=lower, upper=upper, b_min=0.0, b_max=10.0, relative=True))
+    b_min_rel = 10.0 * (lower / 100.0)
+    b_max_rel = 10.0 * (upper / 100.0)
+    ref_rel = ((vol - a_min) / (a_max - a_min)) * (b_max_rel - b_min_rel) \
+        + b_min_rel
+    np.testing.assert_allclose(out_rel, ref_rel, rtol=1e-4, atol=1e-4)
+    # channel_wise computes the percentiles per channel
+    out_cw = np.asarray(scale_intensity_range_percentiles(
+        vol, lower=lower, upper=upper, b_min=0.0, b_max=1.0,
+        channel_wise=True))
+    refs = []
+    for c in range(2):
+        lo = np.percentile(vol[c], lower)
+        hi = np.percentile(vol[c], upper)
+        refs.append((vol[c] - lo) / (hi - lo))
+    np.testing.assert_allclose(out_cw, np.stack(refs), rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError):
+        scale_intensity_range_percentiles(vol, lower=-1.0, upper=95.0,
+                                          b_min=0.0, b_max=1.0)
+
+
+def test_threshold_and_shift_intensity_match_monai():
+    from unet3d_tpu.ops.normalize import shift_intensity, threshold_intensity
+    vol = np.arange(-4, 4, dtype=np.float32).reshape(1, 2, 2, 2)
+    out = np.asarray(threshold_intensity(vol, threshold=0.0, above=True,
+                                         cval=-9.0))
+    np.testing.assert_array_equal(out, np.where(vol > 0, vol, -9.0))
+    out_b = np.asarray(threshold_intensity(vol, threshold=0.0, above=False,
+                                           cval=7.0))
+    np.testing.assert_array_equal(out_b, np.where(vol < 0, vol, 7.0))
+    np.testing.assert_allclose(np.asarray(shift_intensity(vol, 2.5)),
+                               vol + 2.5)
+
+
+def test_monai_scale_names_resolve_in_dataset_registry():
+    from unet3d_tpu.data.dataset import apply_normalization
+    vol = np.random.RandomState(3).rand(1, 4, 4, 4).astype(np.float32) * 10
+    out = np.asarray(apply_normalization(
+        vol, "ScaleIntensityRangeD",
+        {"a_min": 0.0, "a_max": 10.0, "b_min": 0.0, "b_max": 1.0,
+         "clip": True}))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    out2 = np.asarray(apply_normalization(vol, "ScaleIntensityD",
+                                          {"minv": 0.0, "maxv": 1.0}))
+    np.testing.assert_allclose(out2.max(), 1.0, atol=1e-6)

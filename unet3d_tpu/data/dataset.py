@@ -41,6 +41,24 @@ _NORMALIZATION_ALIASES = {
     "NormalizeIntensityD": "normalize_intensity",
     "NormalizeIntensityd": "normalize_intensity",
     "NormalizeIntensity": "normalize_intensity",
+    # the reference resolves ANY monai.transforms name here
+    # (`unet3d/datasets/segmentation.py:80-87`); these are the intensity
+    # normalizers that appear in MONAI-style configs
+    "ScaleIntensityD": "scale_intensity",
+    "ScaleIntensityd": "scale_intensity",
+    "ScaleIntensity": "scale_intensity",
+    "ScaleIntensityRangeD": "scale_intensity_range",
+    "ScaleIntensityRanged": "scale_intensity_range",
+    "ScaleIntensityRange": "scale_intensity_range",
+    "ScaleIntensityRangePercentilesD": "scale_intensity_range_percentiles",
+    "ScaleIntensityRangePercentilesd": "scale_intensity_range_percentiles",
+    "ScaleIntensityRangePercentiles": "scale_intensity_range_percentiles",
+    "ThresholdIntensityD": "threshold_intensity",
+    "ThresholdIntensityd": "threshold_intensity",
+    "ThresholdIntensity": "threshold_intensity",
+    "ShiftIntensityD": "shift_intensity",
+    "ShiftIntensityd": "shift_intensity",
+    "ShiftIntensity": "shift_intensity",
 }
 
 

@@ -78,6 +78,105 @@ def normalize_intensity(data: jnp.ndarray, subtrahend=None, divisor=None,
     return normed
 
 
+def _rescale_array(arr: jnp.ndarray, minv: float, maxv: float) -> jnp.ndarray:
+    """MONAI ``rescale_array``: min->minv, max->maxv; degenerate arrays
+    (min == max) return ``arr * minv``."""
+    mina = jnp.min(arr)
+    maxa = jnp.max(arr)
+    norm = (arr - mina) / jnp.where(maxa == mina, 1.0, maxa - mina)
+    scaled = norm * (maxv - minv) + minv
+    return jnp.where(maxa == mina, arr * minv, scaled)
+
+
+def scale_intensity(data: jnp.ndarray, minv=0.0, maxv=1.0, factor=None,
+                    channel_wise: bool = False) -> jnp.ndarray:
+    """MONAI ``ScaleIntensity``: rescale to [minv, maxv], or — when minv and
+    maxv are both None — multiply by ``1 + factor``."""
+    data = jnp.asarray(data, dtype=jnp.float32)
+    if minv is not None or maxv is not None:
+        lo = 0.0 if minv is None else float(minv)
+        hi = 1.0 if maxv is None else float(maxv)
+        if channel_wise:
+            return jnp.stack([_rescale_array(data[c], lo, hi)
+                              for c in range(data.shape[0])])
+        return _rescale_array(data, lo, hi)
+    if factor is None:
+        raise ValueError("scale_intensity: incompatible values: "
+                         "minv=None, maxv=None and factor=None")
+    return data * (1.0 + float(factor))
+
+
+def scale_intensity_range(data: jnp.ndarray, a_min: float, a_max: float,
+                          b_min=None, b_max=None,
+                          clip: bool = False) -> jnp.ndarray:
+    """MONAI ``ScaleIntensityRange``: map [a_min, a_max] -> [b_min, b_max]
+    linearly; a degenerate input range shifts by ``-a_min (+ b_min)``."""
+    data = jnp.asarray(data, dtype=jnp.float32)
+    if float(a_max) - float(a_min) == 0.0:
+        out = data - a_min
+        if b_min is not None:
+            out = out + b_min
+    else:
+        out = (data - a_min) / (float(a_max) - float(a_min))
+        if b_min is not None and b_max is not None:
+            out = out * (float(b_max) - float(b_min)) + b_min
+    if clip:
+        out = jnp.clip(out, b_min, b_max)
+    return out
+
+
+def scale_intensity_range_percentiles(data: jnp.ndarray, lower: float,
+                                      upper: float, b_min, b_max,
+                                      clip: bool = False,
+                                      relative: bool = False,
+                                      channel_wise: bool = False) -> jnp.ndarray:
+    """MONAI ``ScaleIntensityRangePercentiles``: like scale_intensity_range
+    with a_min/a_max at the lower/upper intensity percentiles; ``relative``
+    scales the output window to the percentile span first."""
+    if not 0.0 <= lower <= 100.0 or not 0.0 <= upper <= 100.0:
+        raise ValueError("Percentiles must be in the range [0, 100]")
+    data = jnp.asarray(data, dtype=jnp.float32)
+
+    def one(img):
+        a_min = jnp.percentile(img, lower)
+        a_max = jnp.percentile(img, upper)
+        lo, hi = b_min, b_max
+        if relative:
+            if b_min is None or b_max is None:
+                raise ValueError("If it is relative, b_min and b_max "
+                                 "should not be None.")
+            lo = (b_max - b_min) * (lower / 100.0) + b_min
+            hi = (b_max - b_min) * (upper / 100.0) + b_min
+        # inline scale_intensity_range with traced a_min/a_max
+        rng = a_max - a_min
+        out = (img - a_min) / jnp.where(rng == 0, 1.0, rng)
+        if lo is not None and hi is not None:
+            out = out * (float(hi) - float(lo)) + lo
+        degenerate = img - a_min + (lo if lo is not None else 0.0)
+        out = jnp.where(rng == 0, degenerate, out)
+        if clip:
+            out = jnp.clip(out, lo, hi)
+        return out
+
+    if channel_wise:
+        return jnp.stack([one(data[c]) for c in range(data.shape[0])])
+    return one(data)
+
+
+def threshold_intensity(data: jnp.ndarray, threshold: float,
+                        above: bool = True, cval: float = 0.0) -> jnp.ndarray:
+    """MONAI ``ThresholdIntensity``: keep voxels strictly above (or below)
+    ``threshold``, set the rest to ``cval``."""
+    data = jnp.asarray(data, dtype=jnp.float32)
+    mask = data > threshold if above else data < threshold
+    return jnp.where(mask, data, cval)
+
+
+def shift_intensity(data: jnp.ndarray, offset: float) -> jnp.ndarray:
+    """MONAI ``ShiftIntensity``: add a fixed offset."""
+    return jnp.asarray(data, dtype=jnp.float32) + float(offset)
+
+
 def percentile_window(data: jnp.ndarray, floor_percentile: float = 5,
                       ceiling_percentile: float = 95) -> jnp.ndarray:
     """Clamp to per-channel percentile window (`unet3d/utils/normalize.py:16-20`)."""
