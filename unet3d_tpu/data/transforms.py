@@ -899,6 +899,154 @@ class Rand3DElasticD(Transform):
         return img, lbl
 
 
+class RandSimulateLowResolutionD(Transform):
+    """MONAI RandSimulateLowResolutiond (the nnU-Net low-res simulation):
+    downsample by zoom_factor ~ U(zoom_range) with ``downsample_mode``
+    (default legacy nearest), then resize back to the original grid with
+    ``upsample_mode`` (default trilinear, align_corners=False). One scalar
+    zoom factor for all spatial dims; target shape = round(shape * factor).
+    Applied to the image only."""
+
+    def __init__(self, prob: float = 0.1, downsample_mode: str = "nearest",
+                 upsample_mode: str = "trilinear", zoom_range=(0.5, 1.0),
+                 align_corners: bool = False):
+        self.prob = prob
+        self.downsample_mode = downsample_mode
+        self.upsample_mode = ("trilinear" if upsample_mode == "bilinear"
+                              else upsample_mode)
+        self.zoom_range = tuple(float(v) for v in zoom_range)
+        self.align_corners = bool(align_corners)
+
+    def __call__(self, rng, image, label):
+        from unet3d_tpu.ops.resample import resize
+
+        if rng.rand() >= self.prob:
+            return image, label
+        zoom = rng.uniform(*self.zoom_range)
+        spatial = tuple(image.shape[-3:])
+        # MONAI: np.round(np.array(shape) * zoom_factor).astype(int)
+        target = tuple(max(int(np.round(s * zoom)), 1) for s in spatial)
+        img = jnp.asarray(image, dtype=jnp.float32)
+        down = resize(img, target, mode=self.downsample_mode)
+        up = resize(down, spatial, mode=self.upsample_mode,
+                    align_corners=self.align_corners)
+        return up, label
+
+
+class RandCropByPosNegLabelD(Transform):
+    """MONAI RandCropByPosNegLabeld: pos/neg-ratio-balanced random crops
+    centered on label foreground/background voxels.
+
+    MONAI semantics replicated exactly:
+    - ``map_binary_to_indices``: when the label has >1 channel, channel 0 is
+      treated as the background channel and DROPPED (MONAI's one-hot
+      convention); foreground = any remaining channel nonzero. Background
+      indices are ``~fg``, intersected with ``any(image > image_threshold)``
+      when ``image_key`` names the image.
+    - each sample picks foreground with probability ``pos/(pos+neg)``, then a
+      uniform voxel of that class as the crop CENTER, corrected so the ROI
+      fits (``correct_crop_centers``); an empty class falls back to the other
+      with a warning, both empty raises.
+    - crop start = center - floor(size/2); non-positive spatial_size entries
+      keep the full extent (fall_back_tuple); ROI larger than the volume
+      raises unless ``allow_smaller`` (which then clamps the ROI).
+
+    Multi-sample: ``num_samples`` crops per input, fanned by the dataset like
+    RandSpatialCropSamplesD (collate_flatten folds them into the batch).
+    MONAI has no ``prob`` on this transform — it always applies.
+    """
+    spatial = True
+
+    def __init__(self, spatial_size: Sequence[int], pos: float = 1.0,
+                 neg: float = 1.0, num_samples: int = 1,
+                 image_key: Optional[str] = None,
+                 image_threshold: float = 0.0, allow_smaller: bool = False):
+        if pos < 0 or neg < 0:
+            raise ValueError(
+                f"pos and neg must be nonnegative, got pos={pos} neg={neg}")
+        if pos + neg == 0:
+            raise ValueError("Incompatible values: pos=0 and neg=0.")
+        if int(num_samples) < 1:
+            raise ValueError("num_samples must be >= 1")
+        if isinstance(spatial_size, (int, float)):
+            spatial_size = (spatial_size,) * 3
+        self.spatial_size = tuple(int(s) for s in spatial_size)
+        self.pos_ratio = float(pos) / (float(pos) + float(neg))
+        self.num_samples = int(num_samples)
+        if image_key not in (None, "image"):
+            raise ValueError("RandCropByPosNegLabelD: image_key must be "
+                             "'image' (the pipeline carries a single image)")
+        self.use_image = image_key == "image"
+        self.image_threshold = float(image_threshold)
+        self.allow_smaller = bool(allow_smaller)
+
+    def _centers(self, rng, image, label):
+        if label is None:
+            raise ValueError("RandCropByPosNegLabelD requires a label "
+                             "(MONAI: 'label must not be None')")
+        lbl = np.asarray(label)
+        spatial = lbl.shape[-3:]
+        # monai map_binary_to_indices: one-hot labels drop the bg channel
+        fg_src = lbl[1:] if lbl.shape[0] > 1 else lbl
+        fg_mask = np.any(fg_src != 0, axis=0)
+        fg_indices = np.flatnonzero(fg_mask)
+        if self.use_image:
+            img_mask = np.any(np.asarray(image) > self.image_threshold, axis=0)
+            bg_indices = np.flatnonzero(img_mask & ~fg_mask)
+        else:
+            bg_indices = np.flatnonzero(~fg_mask)
+        pos_ratio = self.pos_ratio
+        if len(fg_indices) == 0 and len(bg_indices) == 0:
+            raise ValueError("No sampling location available.")
+        if len(fg_indices) == 0 or len(bg_indices) == 0:
+            import warnings
+            warnings.warn(
+                f"Num foregrounds {len(fg_indices)}, Num backgrounds "
+                f"{len(bg_indices)}, unable to generate class balanced "
+                "samples.")
+            pos_ratio = 0.0 if len(fg_indices) == 0 else 1.0
+        # fall_back_tuple + correct_crop_centers bounds
+        roi = tuple(r if r > 0 else s
+                    for r, s in zip(self.spatial_size, spatial))
+        if any(s < r for s, r in zip(spatial, roi)):
+            if not self.allow_smaller:
+                raise ValueError(
+                    "The size of the proposed random crop ROI is larger "
+                    f"than the image size: roi {roi} vs {spatial}")
+            roi = tuple(min(s, r) for s, r in zip(spatial, roi))
+        valid_start = [r // 2 for r in roi]
+        valid_end = [int(s + 1 - r / 2) for s, r in zip(spatial, roi)]
+        valid_end = [max(e, vs + 1) for e, vs in zip(valid_end, valid_start)]
+        centers = []
+        for _ in range(self.num_samples):
+            use = fg_indices if rng.rand() < pos_ratio else bg_indices
+            idx = use[rng.randint(len(use))]
+            center = np.unravel_index(idx, spatial)
+            centers.append(tuple(
+                int(min(max(c, vs), ve - 1))
+                for c, vs, ve in zip(center, valid_start, valid_end)))
+        return centers, roi
+
+    def samples(self, rng, image, label):
+        centers, roi = self._centers(rng, image, label)
+        out = []
+        for center in centers:
+            slices = tuple(slice(c - r // 2, c - r // 2 + r)
+                           for c, r in zip(center, roi))
+            im = image[(slice(None),) + slices]
+            lb = label[(slice(None),) + slices]
+            out.append((im, lb))
+        return out
+
+    def __call__(self, rng, image, label):
+        pairs = self.samples(rng, image, label)
+        if self.num_samples == 1:
+            return pairs[0]
+        image = jnp.stack([jnp.asarray(p[0]) for p in pairs], axis=0)
+        label = jnp.stack([jnp.asarray(p[1]) for p in pairs], axis=0)
+        return image, label
+
+
 class CenterSpatialCropD(Transform):
     """MONAI CenterSpatialCropd: deterministic center crop to ``roi_size``
     (-1 keeps the full extent of that axis)."""
@@ -940,6 +1088,8 @@ TRANSFORM_REGISTRY: Dict[str, type] = {
     "RandAdjustContrastD": RandAdjustContrastD,
     "RandSpatialCropD": RandSpatialCropD,
     "RandSpatialCropSamplesD": RandSpatialCropSamplesD,
+    "RandCropByPosNegLabelD": RandCropByPosNegLabelD,
+    "RandSimulateLowResolutionD": RandSimulateLowResolutionD,
     "RandBiasFieldD": RandBiasFieldD,
     "RandHistogramShiftD": RandHistogramShiftD,
     "RandGaussianSharpenD": RandGaussianSharpenD,
