@@ -1047,6 +1047,273 @@ class RandCropByPosNegLabelD(Transform):
         return image, label
 
 
+def _resolve_roi(spatial_size, spatial, allow_smaller: bool, name: str):
+    """MONAI fall_back_tuple + the ROI-vs-extent check of
+    ``correct_crop_centers``: non-positive entries keep the full extent;
+    an ROI larger than the volume raises unless ``allow_smaller`` clamps it.
+    """
+    roi = tuple(int(r) if r > 0 else int(s)
+                for r, s in zip(spatial_size, spatial))
+    if any(s < r for s, r in zip(spatial, roi)):
+        if not allow_smaller:
+            raise ValueError(
+                "The size of the proposed random crop ROI is larger "
+                f"than the image size: roi {roi} vs {spatial} ({name})")
+        roi = tuple(min(int(s), r) for s, r in zip(spatial, roi))
+    return roi
+
+
+def _correct_crop_center(center, roi, spatial):
+    """MONAI ``correct_crop_centers`` clamp: shift a voxel center into the
+    range where a ``roi``-sized crop fits inside ``spatial``."""
+    valid_start = [r // 2 for r in roi]
+    valid_end = [int(s + 1 - r / 2) for s, r in zip(spatial, roi)]
+    valid_end = [max(e, vs + 1) for e, vs in zip(valid_end, valid_start)]
+    return tuple(int(min(max(c, vs), ve - 1))
+                 for c, vs, ve in zip(center, valid_start, valid_end))
+
+
+class RandCropByLabelClassesD(Transform):
+    """MONAI RandCropByLabelClassesd: per-class-ratio-balanced random crops
+    centered on voxels of each label class.
+
+    MONAI semantics replicated exactly (``monai.transforms.croppad``
+    RandCropByLabelClasses + ``monai.transforms.utils``
+    ``map_classes_to_indices`` / ``generate_label_classes_crop_centers``):
+
+    - class indices: a multi-channel label is treated as one-hot — class c's
+      mask is ``label[c] != 0`` (the background channel, if present, is class
+      0, NOT dropped — unlike RandCropByPosNegLabelD); a single-channel label
+      is an integer label map and requires ``num_classes`` (mask
+      ``label[0] == c``). When ``image_key='image'``, every class mask is
+      intersected with ``any(image > image_threshold)``.
+    - ``max_samples_per_class`` subsamples each class's index list to
+      ``round(linspace(0, n-1, max))`` evenly spaced entries (MONAI's exact
+      rule, applied only when n > max and n > 1).
+    - per sample, a class is drawn with ``rng.choice(n_classes, p=ratios)``
+      (ratios default to uniform; an EMPTY class gets ratio 0 with a
+      warning), then a uniform voxel of that class is the crop CENTER,
+      clamped so the ROI fits (``correct_crop_centers``). All-classes-empty
+      (or all ratios zero) raises — MONAI dies with an opaque numpy
+      "probabilities contain NaN"; we raise a descriptive ValueError.
+    - RNG call order matches MONAI: one ``choice`` for all samples, then one
+      ``randint`` per sample — so identical RandomState seeds produce
+      identical crops.
+    - non-positive ``spatial_size`` entries keep the full extent
+      (fall_back_tuple); ROI larger than the volume raises unless
+      ``allow_smaller`` clamps it.
+
+    Multi-sample fan-out and the reference's collate contract are identical
+    to RandCropByPosNegLabelD (`unet3d/train/training_utils.py:230-240`).
+    """
+    spatial = True
+
+    def __init__(self, spatial_size: Sequence[int], ratios=None,
+                 num_classes: Optional[int] = None, num_samples: int = 1,
+                 image_key: Optional[str] = None,
+                 image_threshold: float = 0.0, allow_smaller: bool = False,
+                 warn: bool = True, max_samples_per_class: Optional[int] = None):
+        if int(num_samples) < 1:
+            raise ValueError("num_samples must be >= 1")
+        if isinstance(spatial_size, (int, float)):
+            spatial_size = (spatial_size,) * 3
+        self.spatial_size = tuple(int(s) for s in spatial_size)
+        if ratios is not None:
+            ratios = [float(r) for r in ratios]
+            if any(r < 0 for r in ratios):
+                raise ValueError("ratios should not contain negative numbers")
+        self.ratios = ratios
+        self.num_classes = None if num_classes is None else int(num_classes)
+        self.num_samples = int(num_samples)
+        if image_key not in (None, "image"):
+            raise ValueError("RandCropByLabelClassesD: image_key must be "
+                             "'image' (the pipeline carries a single image)")
+        self.use_image = image_key == "image"
+        self.image_threshold = float(image_threshold)
+        self.allow_smaller = bool(allow_smaller)
+        self.warn = bool(warn)
+        self.max_samples_per_class = (
+            None if max_samples_per_class is None else int(max_samples_per_class))
+
+    def _class_indices(self, image, label):
+        """monai.transforms.utils.map_classes_to_indices."""
+        lbl = np.asarray(label)
+        channels = lbl.shape[0]
+        if channels == 1:
+            if self.num_classes is None:
+                raise ValueError("if not One-Hot format label, must provide "
+                                 "the num_classes")
+            n_classes = self.num_classes
+        else:
+            n_classes = channels
+        img_mask = None
+        if self.use_image:
+            img_mask = np.any(np.asarray(image) > self.image_threshold,
+                              axis=0).ravel()
+        indices = []
+        for c in range(n_classes):
+            mask = (lbl[c] != 0) if channels > 1 else (lbl[0] == c)
+            flat = mask.ravel()
+            if img_mask is not None:
+                flat = flat & img_mask
+            cls_idx = np.flatnonzero(flat)
+            m = self.max_samples_per_class
+            if m and len(cls_idx) > m and len(cls_idx) > 1:
+                sample_id = np.round(
+                    np.linspace(0, len(cls_idx) - 1, m)).astype(int)
+                cls_idx = cls_idx[sample_id]
+            indices.append(cls_idx)
+        return indices
+
+    def _centers(self, rng, image, label):
+        if label is None:
+            raise ValueError("RandCropByLabelClassesD requires a label")
+        spatial = np.asarray(label).shape[-3:]
+        indices = self._class_indices(image, label)
+        ratios = ([1.0] * len(indices) if self.ratios is None
+                  else list(self.ratios))
+        if len(ratios) != len(indices):
+            raise ValueError(
+                f"random crop ratios must match the number of indices of "
+                f"classes, got {len(ratios)} and {len(indices)}.")
+        for i, arr in enumerate(indices):
+            if len(arr) == 0 and ratios[i] != 0:
+                ratios[i] = 0.0
+                if self.warn:
+                    import warnings
+                    warnings.warn(
+                        f"no available indices of class {i} to crop, setting "
+                        f"the crop ratio of this class to zero.")
+        total = float(sum(ratios))
+        if total <= 0:
+            raise ValueError(
+                "No sampling location available: every class is empty or "
+                "has ratio zero.")
+        roi = _resolve_roi(self.spatial_size, spatial, self.allow_smaller,
+                           "RandCropByLabelClassesD")
+        classes = rng.choice(len(ratios), size=self.num_samples,
+                             p=np.asarray(ratios) / total)
+        centers = []
+        for i in classes:
+            use = indices[int(i)]
+            idx = use[rng.randint(len(use))]
+            center = np.unravel_index(idx, spatial)
+            centers.append(_correct_crop_center(center, roi, spatial))
+        return centers, roi
+
+    def samples(self, rng, image, label):
+        centers, roi = self._centers(rng, image, label)
+        out = []
+        for center in centers:
+            slices = tuple(slice(c - r // 2, c - r // 2 + r)
+                           for c, r in zip(center, roi))
+            out.append((image[(slice(None),) + slices],
+                        label[(slice(None),) + slices]))
+        return out
+
+    def __call__(self, rng, image, label):
+        pairs = self.samples(rng, image, label)
+        if self.num_samples == 1:
+            return pairs[0]
+        image = jnp.stack([jnp.asarray(p[0]) for p in pairs], axis=0)
+        label = jnp.stack([jnp.asarray(p[1]) for p in pairs], axis=0)
+        return image, label
+
+
+class RandWeightedCropD(Transform):
+    """MONAI RandWeightedCropd: random crops whose centers are sampled with
+    probability proportional to a weight map.
+
+    MONAI semantics replicated exactly (``monai.transforms.croppad``
+    RandWeightedCrop + ``monai.transforms.utils.weighted_patch_samples``):
+
+    - the weight map is CHANNEL 0 of the tensor named by ``w_key`` — this
+      pipeline carries ``image`` and ``label``, so ``w_key`` must be one of
+      those (MONAI reads any dict key; a dedicated weight volume would be a
+      third input the reference pipeline never builds).
+    - window = fall_back_tuple(spatial_size, extent); centers are drawn from
+      the 'valid' interior ``[win//2, m - win + win//2)`` per dim (MONAI's
+      exact half-open range; dims with ``m <= win`` collapse to the single
+      index ``m//2``).
+    - sampling: negative weights are shifted up by the minimum; the flat CDF
+      is inverted with ``searchsorted(cdf, U(0,1)*total, right=True)``; a
+      zero/non-finite total falls back to UNIFORM ``randint`` sampling.
+    - the crop is ``SpatialCrop(center, spatial_size)``: start clamped at 0,
+      end clipped by the extent — so dims with ``m < win`` yield the full
+      (smaller) extent, exactly as MONAI (which does NOT pad here).
+    - RNG order matches MONAI: one ``rand(num_samples)`` draw (or one
+      ``randint`` in the uniform fallback), no per-sample draws.
+    """
+    spatial = True
+
+    def __init__(self, spatial_size: Sequence[int], w_key: str = "label",
+                 num_samples: int = 1):
+        if int(num_samples) < 1:
+            raise ValueError("num_samples must be >= 1")
+        if isinstance(spatial_size, (int, float)):
+            spatial_size = (spatial_size,) * 3
+        self.spatial_size = tuple(int(s) for s in spatial_size)
+        if w_key not in ("image", "label"):
+            raise ValueError("RandWeightedCropD: w_key must be 'image' or "
+                             "'label' (the pipeline carries no other keys)")
+        self.w_key = w_key
+        self.num_samples = int(num_samples)
+
+    def _centers(self, rng, image, label):
+        w_src = label if self.w_key == "label" else image
+        if w_src is None:
+            raise ValueError(f"RandWeightedCropD: w_key={self.w_key!r} is "
+                             "not present in this sample")
+        w = np.asarray(np.asarray(w_src)[0], dtype=np.float64)
+        spatial = w.shape
+        win = tuple(int(r) if r > 0 else int(m)
+                    for r, m in zip(self.spatial_size, spatial))
+        s = tuple(slice(r // 2, m - r + r // 2) if m > r
+                  else slice(m // 2, m // 2 + 1)
+                  for r, m in zip(win, spatial))
+        v = w[s]
+        v_size = v.shape
+        v = v.ravel()
+        if (v < 0).any():
+            v = v - v.min()
+        v = np.cumsum(v)
+        if not v[-1] or not np.isfinite(v[-1]) or v[-1] < 0:
+            idx = rng.randint(0, len(v), size=self.num_samples)
+        else:
+            r = rng.random_sample(self.num_samples)
+            idx = np.searchsorted(v, r * v[-1], side="right")
+        diff = [min(r, m) // 2 for r, m in zip(win, spatial)]
+        centers = []
+        for flat in np.atleast_1d(idx):
+            center = np.unravel_index(int(flat), v_size)
+            centers.append(tuple(int(c + d) for c, d in zip(center, diff)))
+        return centers, win, spatial
+
+    def samples(self, rng, image, label):
+        centers, win, spatial = self._centers(rng, image, label)
+        out = []
+        for center in centers:
+            # monai SpatialCrop: start = max(center - size//2, 0), end
+            # clipped by the extent (no padding; edge crops can be smaller);
+            # the roi_size is fall_back_tuple(spatial_size, extent) = win
+            slices = tuple(
+                slice(max(c - r // 2, 0), min(max(c - r // 2, 0) + r, m))
+                for c, r, m in zip(center, win, spatial))
+            im = image[(slice(None),) + slices]
+            lb = None if label is None else label[(slice(None),) + slices]
+            out.append((im, lb))
+        return out
+
+    def __call__(self, rng, image, label):
+        pairs = self.samples(rng, image, label)
+        if self.num_samples == 1:
+            return pairs[0]
+        image = jnp.stack([jnp.asarray(p[0]) for p in pairs], axis=0)
+        label = (None if pairs[0][1] is None else
+                 jnp.stack([jnp.asarray(p[1]) for p in pairs], axis=0))
+        return image, label
+
+
 class CenterSpatialCropD(Transform):
     """MONAI CenterSpatialCropd: deterministic center crop to ``roi_size``
     (-1 keeps the full extent of that axis)."""
@@ -1089,6 +1356,8 @@ TRANSFORM_REGISTRY: Dict[str, type] = {
     "RandSpatialCropD": RandSpatialCropD,
     "RandSpatialCropSamplesD": RandSpatialCropSamplesD,
     "RandCropByPosNegLabelD": RandCropByPosNegLabelD,
+    "RandCropByLabelClassesD": RandCropByLabelClassesD,
+    "RandWeightedCropD": RandWeightedCropD,
     "RandSimulateLowResolutionD": RandSimulateLowResolutionD,
     "RandBiasFieldD": RandBiasFieldD,
     "RandHistogramShiftD": RandHistogramShiftD,
