@@ -135,6 +135,18 @@ def test_scale_intensity_matches_monai():
     const = np.full((1, 4, 4, 4), 3.0, np.float32)
     np.testing.assert_allclose(
         np.asarray(scale_intensity(const, minv=0.5, maxv=1.0)), const * 0.5)
+    # MONAI rescale_array: when minv OR maxv is None the bare 0-1 norm is
+    # returned (the other bound is ignored)
+    norm01 = (vol - vol.min()) / (vol.max() - vol.min())
+    np.testing.assert_allclose(
+        np.asarray(scale_intensity(vol, minv=None, maxv=5.0)), norm01,
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(scale_intensity(vol, minv=-2.0, maxv=None)), norm01,
+        rtol=1e-6, atol=1e-6)
+    # degenerate + minv None: MONAI returns the array unchanged
+    np.testing.assert_allclose(
+        np.asarray(scale_intensity(const, minv=None, maxv=1.0)), const)
 
 
 def test_scale_intensity_range_matches_monai():

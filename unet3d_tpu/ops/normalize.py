@@ -78,14 +78,20 @@ def normalize_intensity(data: jnp.ndarray, subtrahend=None, divisor=None,
     return normed
 
 
-def _rescale_array(arr: jnp.ndarray, minv: float, maxv: float) -> jnp.ndarray:
-    """MONAI ``rescale_array``: min->minv, max->maxv; degenerate arrays
-    (min == max) return ``arr * minv``."""
+def _rescale_array(arr: jnp.ndarray, minv, maxv) -> jnp.ndarray:
+    """MONAI ``rescale_array``: min->minv, max->maxv. When ``minv`` or
+    ``maxv`` is None the bare 0-1 norm is returned (MONAI ignores the other
+    bound). Degenerate arrays (min == max) return ``arr * minv`` — or ``arr``
+    unchanged when ``minv`` is None."""
     mina = jnp.min(arr)
     maxa = jnp.max(arr)
+    degenerate = arr if minv is None else arr * float(minv)
     norm = (arr - mina) / jnp.where(maxa == mina, 1.0, maxa - mina)
-    scaled = norm * (maxv - minv) + minv
-    return jnp.where(maxa == mina, arr * minv, scaled)
+    if minv is None or maxv is None:
+        scaled = norm
+    else:
+        scaled = norm * (float(maxv) - float(minv)) + float(minv)
+    return jnp.where(maxa == mina, degenerate, scaled)
 
 
 def scale_intensity(data: jnp.ndarray, minv=0.0, maxv=1.0, factor=None,
@@ -94,12 +100,10 @@ def scale_intensity(data: jnp.ndarray, minv=0.0, maxv=1.0, factor=None,
     maxv are both None — multiply by ``1 + factor``."""
     data = jnp.asarray(data, dtype=jnp.float32)
     if minv is not None or maxv is not None:
-        lo = 0.0 if minv is None else float(minv)
-        hi = 1.0 if maxv is None else float(maxv)
         if channel_wise:
-            return jnp.stack([_rescale_array(data[c], lo, hi)
+            return jnp.stack([_rescale_array(data[c], minv, maxv)
                               for c in range(data.shape[0])])
-        return _rescale_array(data, lo, hi)
+        return _rescale_array(data, minv, maxv)
     if factor is None:
         raise ValueError("scale_intensity: incompatible values: "
                          "minv=None, maxv=None and factor=None")
